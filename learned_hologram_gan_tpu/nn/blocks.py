@@ -1,0 +1,305 @@
+"""Flax (linen) neural-net building blocks.
+
+TPU-first rebuild of the reference ``neural_network_components.py`` (353 LoC,
+torch Lazy modules): explicit shapes replace the Lazy/dummy-forward idiom, all
+convs run NHWC (TPU-native layout; the model layer converts from the
+reference's NCHW at its boundary), and normalization statistics are computed
+over the *global* batch automatically when the batch axis is sharded under
+jit (GSPMD inserts the collectives).
+
+Component map (reference file:line):
+  ResidualBlock              neural_network_components.py:6-32
+  SymmetricConv2d            neural_network_components.py:35-75
+  ChannelWiseSymmetricConv   neural_network_components.py:78-95
+  fakeChannelWiseSymmetricConv  :98-103 (ablation identity)
+  miniResNet / ResNet        :106-138 / :141-177
+  ResNetPOH                  :180-185
+  miniUNet / UNet            :188-238 / :241-315
+  RGBD_UNet                  :318-333
+  FourierBlock / UNetFourier :336-353
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _conv(features: int, kernel: int, strides: int = 1, dtype: Dtype = jnp.float32):
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(strides, strides),
+        padding="SAME" if kernel > 1 else "VALID",
+        dtype=dtype,
+    )
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3-BN-ReLU-conv3x3-BN (+1x1 shortcut) -> add -> ReLU.
+
+    Reference neural_network_components.py:6-32.  BatchNorm runs in f32 even
+    under bf16 compute for stable statistics.
+    """
+
+    features: int
+    use_1x1conv: bool = False
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        y = _conv(self.features, 3, self.strides, self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.relu(y)
+        y = _conv(self.features, 3, 1, self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        if self.use_1x1conv:
+            x = _conv(self.features, 1, self.strides, self.dtype)(x)
+        return nn.relu(y + x)
+
+
+class SymmetricConv2d(nn.Module):
+    """Radially-symmetric single-channel conv: one learnable scalar per unique
+    squared distance from the kernel center, expanded via a static index map.
+
+    Models an isotropic optical point-spread function (reference
+    neural_network_components.py:35-75; |N(0,1)| init, scalar bias).  Expects
+    NHWC input with a single channel.
+    """
+
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def distance_map(kernel_size: int) -> Tuple[np.ndarray, int]:
+        c = kernel_size // 2
+        ii, jj = np.meshgrid(np.arange(kernel_size), np.arange(kernel_size), indexing="ij")
+        d = (ii - c) ** 2 + (jj - c) ** 2
+        uniq = np.unique(d)
+        idx = np.searchsorted(uniq, d)
+        return idx.astype(np.int32), len(uniq)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        idx_map, n_uniq = self.distance_map(self.kernel_size)
+        params = self.param(
+            "radial_weights",
+            lambda key: jnp.abs(nn.initializers.normal(1.0)(key, (n_uniq,))),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        kernel = params[jnp.asarray(idx_map)]  # (k, k)
+        kernel = kernel[:, :, None, None].astype(self.dtype)  # HWIO, 1->1 channel
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel,
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(self.dtype)
+
+
+class ChannelWiseSymmetricConv(nn.Module):
+    """Three independent SymmetricConv2d, one per R/G/B channel.
+
+    Reference neural_network_components.py:78-95.  NHWC in/out, 3 channels.
+    """
+
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        outs = [
+            SymmetricConv2d(self.kernel_size, dtype=self.dtype, name=f"conv_{c}")(
+                x[..., i : i + 1]
+            )
+            for i, c in enumerate("rgb")
+        ]
+        return jnp.concatenate(outs, axis=-1)
+
+
+class FakeChannelWiseSymmetricConv(nn.Module):
+    """Identity stub (ablation stand-in, reference :98-103)."""
+
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x
+
+
+class _ResNetBase(nn.Module):
+    """Shared stride-1 ResNet trunk (reference miniResNet/ResNet)."""
+
+    output_channels: int
+    stem_features: int
+    block_plan: Sequence[Tuple[int, bool]]  # (features, use_1x1conv)
+    stem_kernel: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        y = _conv(self.stem_features, self.stem_kernel, 1, self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.relu(y)
+        for feats, use_1x1 in self.block_plan:
+            y = ResidualBlock(feats, use_1x1conv=use_1x1, dtype=self.dtype)(y, train)
+        y = _conv(self.output_channels, 1, 1, self.dtype)(y)
+        return nn.sigmoid(y)
+
+
+def MiniResNet(output_channels: int = 3, dtype: Dtype = jnp.float32) -> _ResNetBase:
+    """4 residual blocks at 32/64 channels (reference :106-138)."""
+    return _ResNetBase(
+        output_channels=output_channels,
+        stem_features=32,
+        block_plan=[(32, False), (32, False), (64, True), (64, False)],
+        dtype=dtype,
+    )
+
+
+def ResNet(output_channels: int = 3, dtype: Dtype = jnp.float32) -> _ResNetBase:
+    """8 residual blocks, 64 -> 512 channels (reference :141-177)."""
+    return _ResNetBase(
+        output_channels=output_channels,
+        stem_features=64,
+        block_plan=[
+            (64, False), (64, False), (128, True), (128, False),
+            (256, True), (256, False), (512, True), (512, False),
+        ],
+        dtype=dtype,
+    )
+
+
+class ResNetPOH(nn.Module):
+    """ResNet with output scaled to [0, 2*pi] phase (reference :180-185)."""
+
+    output_channels: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        return 2.0 * np.pi * ResNet(self.output_channels, self.dtype)(x, train)
+
+
+class FourierBlock(nn.Module):
+    """Spatial ResidualBlock + ResidualBlock in the 1-D FFT domain, summed.
+
+    Reference :336-353 (fft -> conv -> ifft over the last spatial axis; the
+    real part survives the sum as in torch's implicit complex->real cast).
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        spatial = ResidualBlock(self.features, use_1x1conv=True, dtype=self.dtype)(
+            x, train
+        )
+        f = jnp.fft.fft(x.astype(jnp.float32), axis=-2)  # along W in NHWC
+        fr = ResidualBlock(self.features, use_1x1conv=True, dtype=self.dtype)(
+            jnp.real(f).astype(x.dtype), train
+        )
+        fi = ResidualBlock(self.features, use_1x1conv=True, dtype=self.dtype)(
+            jnp.imag(f).astype(x.dtype), train
+        )
+        fourier = jnp.real(
+            jnp.fft.ifft(jax.lax.complex(fr.astype(jnp.float32), fi.astype(jnp.float32)), axis=-2)
+        ).astype(x.dtype)
+        return spatial + fourier
+
+
+class UNet(nn.Module):
+    """Residual-block UNet, shape-preserving, sigmoid head.
+
+    Reference UNet (:241-315): 4 encoder levels at base*1..base*8 channels,
+    bottleneck base*16 + ConvTranspose up, skip connections by channel
+    concat, final 1x1 conv + Sigmoid.  ``levels=2`` with ``base_features=16``
+    reproduces miniUNet (:188-238).  ``fourier=True`` swaps the conv blocks
+    for FourierBlocks (reference Unet_Fourier :348-353).  NHWC in/out.
+    """
+
+    output_channels: int = 6
+    base_features: int = 64
+    levels: int = 4
+    fourier: bool = False
+    dtype: Dtype = jnp.float32
+
+    def _block(self, feats: int):
+        if self.fourier:
+            return FourierBlock(feats, dtype=self.dtype)
+        return ResidualBlock(feats, use_1x1conv=True, dtype=self.dtype)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        skips = []
+        y = x
+        # Encoder: block at base * 2^i, then 2x2 max-pool between levels.
+        for i in range(self.levels):
+            y = self._block(self.base_features * (2**i))(y, train)
+            skips.append(y)
+            y = nn.max_pool(y, (2, 2), strides=(2, 2))
+        # Bottleneck + first up-conv.
+        y = self._block(self.base_features * (2**self.levels))(y, train)
+        y = nn.ConvTranspose(
+            self.base_features * (2 ** (self.levels - 1)),
+            (2, 2),
+            strides=(2, 2),
+            dtype=self.dtype,
+        )(y)
+        # Decoder: concat skip, block, up-conv (except after the last block).
+        for i in reversed(range(self.levels)):
+            y = jnp.concatenate([skips[i], y], axis=-1)
+            y = self._block(self.base_features * (2**i) * (2 if i > 0 else 1))(y, train)
+            if i > 0:
+                y = nn.ConvTranspose(
+                    self.base_features * (2 ** (i - 1)),
+                    (2, 2),
+                    strides=(2, 2),
+                    dtype=self.dtype,
+                )(y)
+        y = _conv(self.output_channels, 1, 1, self.dtype)(y)
+        return nn.sigmoid(y)
+
+
+def MiniUNet(output_channels: int = 1, dtype: Dtype = jnp.float32) -> UNet:
+    """2-level, 16-base-feature UNet (reference miniUNet :188-238)."""
+    return UNet(
+        output_channels=output_channels, base_features=16, levels=2, dtype=dtype
+    )
+
+
+class RGBDUNet(nn.Module):
+    """Per-color variant: three UNet(2) on (R,D), (G,D), (B,D) slices.
+
+    Reference RGBD_UNet (:318-333).  NHWC input with channels [R, G, B, D];
+    output channels [amp_r, amp_g, amp_b, phs_r, phs_g, phs_b].
+    """
+
+    base_features: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgbd: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        outs = []
+        for i, c in enumerate("rgb"):
+            net = UNet(
+                output_channels=2,
+                base_features=self.base_features,
+                dtype=self.dtype,
+                name=f"unet_{c}",
+            )
+            outs.append(net(rgbd[..., [i, 3]], train))
+        amps = jnp.concatenate([o[..., :1] for o in outs], axis=-1)
+        phss = jnp.concatenate([o[..., 1:] for o in outs], axis=-1)
+        return jnp.concatenate([amps, phss], axis=-1)

@@ -1,0 +1,417 @@
+"""Band-limited angular-spectrum method (ASM) free-space propagation.
+
+TPU-native redesign of the reference's three-class propagator hierarchy
+(``angular_spectrum_method.py:5-552``): a single immutable
+:class:`PropagatorPlan` pytree carries every precomputed grid (w-grid,
+transfer-function stack H, diffraction-limited mask, differentiable-mask
+radial grid), and pure ``jnp`` functions implement every propagation
+primitive.  Distances are just a leading axis of the cached H stack — the
+reference's "single fixed distance" case is ``num_distances == 1`` and its
+"multi distance" case is ``num_distances > 1``; there is one code path.
+
+Numerics / parity notes
+-----------------------
+* The kernel is ``crop(ifft2(fft2(pad(A * exp(i*phi))) * H * mask))`` with
+  ``H = exp(-2*pi*i * z * w)`` and ``w = sqrt(max(1/lambda^2 - fx^2 - fy^2, 0))``
+  (reference :68-94, :155-171, :195-213).  Everything is complex64.
+* Because ``w`` is real everywhere (evanescent region clamped to 0), |H| == 1
+  and the reference's *backward* propagation "divide by H"
+  (reference :366, :383) is implemented as the numerically identical — and on
+  TPU cheaper — multiply by ``conj(H)``.
+* Padding is asymmetric: ``pad_cols = int(pad_size * cols / rows)``
+  (reference :45-49); rows are padded by ``pad_size`` on each side.
+* ``fft2``/``ifft2`` act on the last two axes; XLA maps them to its native
+  TPU FFT and fuses the surrounding complex multiplies.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import OpticsConfig
+from . import masks as masks_lib
+
+
+@struct.dataclass
+class PropagatorPlan:
+    """Immutable, device-resident precomputation for ASM propagation.
+
+    Array leaves (pytree — shardable / donatable):
+      w_grid:       (C, Rp, Cp) float32 — per-wavelength w values.
+      mask:         (Rp, Cp) float32 — diffraction-limited circular low-pass
+                    simulating the imaging aperture (reference :60-62,141-153).
+      radial_grid:  (Rp, Cp) float32 — fftfreq radius grid for the sigmoid
+                    (differentiable) low-pass (reference :315-319,426-436).
+      H:            (D, C, Rp, Cp) complex64 or None — cached transfer
+                    functions for a fixed distance stack (reference :321,
+                    :500-501).
+      distances:    (D,) float32 or None — the cached distance stack.
+
+    Static fields (hashable — participate in jit cache keys):
+      rows, cols, pad_rows, pad_cols, pixel_pitch, wavelengths,
+      filter_radius_coefficient.
+    """
+
+    w_grid: jnp.ndarray
+    mask: jnp.ndarray
+    radial_grid: jnp.ndarray
+    H: Optional[jnp.ndarray]
+    distances: Optional[jnp.ndarray]
+
+    rows: int = struct.field(pytree_node=False)
+    cols: int = struct.field(pytree_node=False)
+    pad_rows: int = struct.field(pytree_node=False)
+    pad_cols: int = struct.field(pytree_node=False)
+    pixel_pitch: float = struct.field(pytree_node=False)
+    wavelengths: Tuple[float, ...] = struct.field(pytree_node=False)
+    filter_radius_coefficient: float = struct.field(pytree_node=False)
+
+    @property
+    def padded_rows(self) -> int:
+        return self.rows + 2 * self.pad_rows
+
+    @property
+    def padded_cols(self) -> int:
+        return self.cols + 2 * self.pad_cols
+
+    @property
+    def num_distances(self) -> int:
+        return 0 if self.H is None else self.H.shape[0]
+
+
+def make_plan(
+    optics: OpticsConfig,
+    distances: Optional[Sequence[float] | jnp.ndarray] = None,
+) -> PropagatorPlan:
+    """Build a :class:`PropagatorPlan` from an :class:`OpticsConfig`.
+
+    ``distances`` (optional) precomputes the transfer-function stack H for a
+    fixed set of propagation distances — pass a single-element sequence for
+    the reference's fixed-distance propagator and a full stack for its
+    multi-distance one.
+    """
+    rp, cp = optics.padded_rows, optics.padded_cols
+    w_grid = _w_grid(rp, cp, optics.pixel_pitch, optics.wavelengths)
+    radius = min(rp, cp) * optics.filter_radius_coefficient
+    mask = masks_lib.circular_frequency_mask(rp, cp, radius)
+    radial_grid = masks_lib.radial_frequency_grid(rp, cp)
+
+    h = None
+    dist_arr = None
+    if distances is not None:
+        dist_arr = jnp.atleast_1d(jnp.asarray(distances, dtype=jnp.float32))
+        h = _transfer_function(w_grid, dist_arr)
+
+    return PropagatorPlan(
+        w_grid=w_grid,
+        mask=mask,
+        radial_grid=radial_grid,
+        H=h,
+        distances=dist_arr,
+        rows=optics.rows,
+        cols=optics.cols,
+        pad_rows=optics.pad_rows,
+        pad_cols=optics.pad_cols,
+        pixel_pitch=optics.pixel_pitch,
+        wavelengths=tuple(optics.wavelengths),
+        filter_radius_coefficient=optics.filter_radius_coefficient,
+    )
+
+
+def _w_grid(
+    rows: int, cols: int, pixel_pitch: float, wavelengths: Sequence[float]
+) -> jnp.ndarray:
+    """(C, rows, cols) grid of w = sqrt(max(1/lambda^2 - fx^2 - fy^2, 0)).
+
+    Matches reference generate_w_grid (angular_spectrum_method.py:155-171):
+    fx runs down the rows, fy across the columns (both fftfreq with the pixel
+    pitch as sample spacing).  Computed in float64 on host then cast, so the
+    catastrophic cancellation near the band edge matches the reference's
+    float32 torch result to ulp-level.
+    """
+    fx = np.fft.fftfreq(rows, pixel_pitch)[:, None]
+    fy = np.fft.fftfreq(cols, pixel_pitch)[None, :]
+    sq = (fx * fx + fy * fy)[None, :, :]
+    inv_wl_sq = (1.0 / np.asarray(wavelengths, dtype=np.float64) ** 2)[:, None, None]
+    w = np.sqrt(np.clip(inv_wl_sq - sq, 0.0, None))
+    return jnp.asarray(w, dtype=jnp.float32)
+
+
+def _transfer_function(w_grid: jnp.ndarray, distances: jnp.ndarray) -> jnp.ndarray:
+    """H = exp(-2*pi*i * z * w): (D, C, Rp, Cp) complex64 (reference :195-213)."""
+    theta = (-2.0 * np.pi) * distances[:, None, None, None] * w_grid[None]
+    return jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+
+
+def transfer_function(plan: PropagatorPlan, distances: jnp.ndarray) -> jnp.ndarray:
+    """On-the-fly transfer-function stack for arbitrary ``distances`` (D,)."""
+    distances = jnp.atleast_1d(jnp.asarray(distances, dtype=jnp.float32))
+    return _transfer_function(plan.w_grid, distances)
+
+
+# ---------------------------------------------------------------------------
+# pad / crop (reference :215-260)
+# ---------------------------------------------------------------------------
+
+
+def pad(plan: PropagatorPlan, x: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad the last two axes to the padded sampling grid."""
+    if plan.pad_rows == 0 and plan.pad_cols == 0:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 2) + [
+        (plan.pad_rows, plan.pad_rows),
+        (plan.pad_cols, plan.pad_cols),
+    ]
+    return jnp.pad(x, cfg)
+
+
+def crop(plan: PropagatorPlan, x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`pad` — slice the central (rows, cols) window."""
+    if plan.pad_rows == 0 and plan.pad_cols == 0:
+        return x
+    return x[
+        ...,
+        plan.pad_rows : plan.pad_rows + plan.rows,
+        plan.pad_cols : plan.pad_cols + plan.cols,
+    ]
+
+
+def field(amp: jnp.ndarray, phs: jnp.ndarray) -> jnp.ndarray:
+    """Complex field A * exp(i*phi) as complex64 (reference utilities.py:15-27)."""
+    amp = amp.astype(jnp.float32)
+    phs = phs.astype(jnp.float32)
+    return jax.lax.complex(amp * jnp.cos(phs), amp * jnp.sin(phs))
+
+
+def _fft2(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.fft.fft2(x)
+
+
+def _ifft2(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.fft.ifft2(x)
+
+
+# ---------------------------------------------------------------------------
+# Base propagation primitives (reference base class :68-139)
+# ---------------------------------------------------------------------------
+
+
+def propagate(
+    plan: PropagatorPlan,
+    amp: jnp.ndarray,
+    phs: jnp.ndarray,
+    distances: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Amplitude+phase -> |field| at ``distances`` (reference __call__ :68-94).
+
+    Broadcasting semantics match the reference base class: the input batch
+    axis and the distance axis are the *same* leading axis (G_0 with leading
+    dim 1 or D broadcasts against H of leading dim D).  For simultaneous
+    batch x distance use :func:`propagate_batch_multi`.
+    """
+    h = plan.H if distances is None else transfer_function(plan, distances)
+    g0 = _fft2(pad(plan, field(amp, phs)))
+    gz = g0 * (h * plan.mask)
+    return jnp.abs(crop(plan, _ifft2(gz)))
+
+
+def propagate_p2i(
+    plan: PropagatorPlan,
+    phs: jnp.ndarray,
+    distances: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Phase-only -> intensity |field|^2 (reference propagate_P2I :131-139)."""
+    h = plan.H if distances is None else transfer_function(plan, distances)
+    g0 = _fft2(pad(plan, field(jnp.ones_like(phs), phs)))
+    gz = g0 * (h * plan.mask)
+    return jnp.abs(crop(plan, _ifft2(gz))) ** 2
+
+
+def propagate_ap2ap(
+    plan: PropagatorPlan,
+    amp_phs: jnp.ndarray,
+    distances: Optional[jnp.ndarray] = None,
+    backward: bool = False,
+) -> jnp.ndarray:
+    """6-channel amp/phase -> 6-channel amp/phase at ``distances``.
+
+    Input layout (B, 6, R, C) with channels interleaved per color
+    [a_r, p_r, a_g, p_g, a_b, p_b]; output is [amps(3), phases(3)]
+    (matching the reference's view(-1, 3, 2, R, C) + cat((abs, angle))
+    semantics, reference :96-129 and :338-368).  ``backward=True`` multiplies
+    by conj(H) — the reference fixed-distance subclass's backward direction
+    (reference :365-367).
+
+    Note: the reference version silently assumes its input is already at the
+    *padded* sampling grid and pads again (:113-122); here the input is at
+    the original (rows, cols) grid, which is the only self-consistent reading.
+    """
+    b = amp_phs.shape[0]
+    ap = amp_phs.reshape(b, 3, 2, amp_phs.shape[-2], amp_phs.shape[-1])
+    g = field(ap[:, :, 0], ap[:, :, 1])
+    h = plan.H if distances is None else transfer_function(plan, distances)
+    if backward:
+        h = jnp.conj(h)
+    gz = crop(plan, _ifft2(_fft2(pad(plan, g)) * h))
+    return jnp.concatenate([jnp.abs(gz), _angle(gz)], axis=1)
+
+
+def _angle(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.arctan2(jnp.imag(x), jnp.real(x))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-distance GAN primitives (reference subclass :263-466)
+# ---------------------------------------------------------------------------
+
+
+def _fixed_h(plan: PropagatorPlan) -> jnp.ndarray:
+    """The (C, Rp, Cp) transfer function of the plan's first cached distance."""
+    if plan.H is None:
+        raise ValueError(
+            "This primitive needs a plan built with a fixed distance stack; "
+            "pass distances=[z] to make_plan()."
+        )
+    return plan.H[0]
+
+
+def propagate_ap2c_backward(
+    plan: PropagatorPlan, amp_z: jnp.ndarray, phs_z: jnp.ndarray
+) -> jnp.ndarray:
+    """Image-plane amp/phase -> complex SLM-plane field (backward).
+
+    Reference propagate_AP2C_backward (:374-384): G_z / H == G_z * conj(H).
+    """
+    gz = _fft2(pad(plan, field(amp_z, phs_z)))
+    g0 = crop(plan, _ifft2(gz * jnp.conj(_fixed_h(plan))))
+    return g0
+
+
+def propagate_poh2freq_forward(plan: PropagatorPlan, poh: jnp.ndarray) -> jnp.ndarray:
+    """Phase-only hologram -> filtered image-plane spectrum (reference :386-392).
+
+    Returns the full padded-size complex spectrum (B, C, Rp, Cp).
+    """
+    g0 = _fft2(pad(plan, field(jnp.ones_like(poh), poh)))
+    return g0 * (_fixed_h(plan) * plan.mask)
+
+
+def propagate_poh2ap_forward(
+    plan: PropagatorPlan, poh: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """POH -> (amp, phase) at the fixed distance (reference :414-424)."""
+    g0 = _fft2(pad(plan, field(jnp.ones_like(poh), poh)))
+    gz = crop(plan, _ifft2(g0 * (_fixed_h(plan) * plan.mask)))
+    return jnp.abs(gz), _angle(gz)
+
+
+def propagate_poh2ap_forward_with_spectrum_loss(
+    plan: PropagatorPlan,
+    poh: jnp.ndarray,
+    filter_radius_coefficient: jnp.ndarray | float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """POH -> (amp, phase, spectrum_loss) with a differentiable low-pass.
+
+    Reference :394-412 — the sigmoid-edged mask keeps the filter radius
+    differentiable, and ``spectrum_loss = mean(|G_0| - |G_filtered|)``
+    penalises energy pushed outside the pass band.
+    """
+    radius = (
+        jnp.minimum(plan.padded_rows, plan.padded_cols) * filter_radius_coefficient
+    )
+    mask = masks_lib.differentiable_circular_mask(plan.radial_grid, radius)
+    g0 = _fft2(pad(plan, field(jnp.ones_like(poh), poh)))
+    gz_f = g0 * (_fixed_h(plan) * mask)
+    spectrum_loss = jnp.mean(jnp.abs(g0) - jnp.abs(gz_f))
+    gz = crop(plan, _ifft2(gz_f))
+    return jnp.abs(gz), _angle(gz), spectrum_loss
+
+
+def differentiable_lowpass_filter(
+    plan: PropagatorPlan,
+    amp: jnp.ndarray,
+    phs: jnp.ndarray,
+    filter_radius_coefficient: jnp.ndarray | float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Low-pass an amp/phase pair without propagating (reference AP2POH.py:75-84)."""
+    radius = (
+        jnp.minimum(plan.padded_rows, plan.padded_cols) * filter_radius_coefficient
+    )
+    mask = masks_lib.differentiable_circular_mask(plan.radial_grid, radius)
+    g = crop(plan, _ifft2(_fft2(pad(plan, field(amp, phs))) * mask))
+    return jnp.abs(g), _angle(g)
+
+
+# ---------------------------------------------------------------------------
+# Multi-distance focal-stack primitives (reference subclass :469-552)
+# ---------------------------------------------------------------------------
+
+
+def propagate_batch_multi(
+    plan: PropagatorPlan,
+    amp: jnp.ndarray,
+    phs: jnp.ndarray,
+    distances: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Batch x multi-distance propagation -> (B*D, C, rows, cols) amplitudes.
+
+    Reference multi-distance __call__ (:503-522): broadcast the batch spectrum
+    over every distance's H, then flatten (B, D) into the leading axis.
+    """
+    h = plan.H if distances is None else transfer_function(plan, distances)
+    g0 = _fft2(pad(plan, field(amp, phs)))  # (B, C, Rp, Cp)
+    gz = g0[:, None] * (h * plan.mask)[None]  # (B, D, C, Rp, Cp)
+    b, d = gz.shape[0], gz.shape[1]
+    gz = gz.reshape(b * d, *gz.shape[2:])
+    return jnp.abs(crop(plan, _ifft2(gz)))
+
+
+def filter_ap2filtered_freq(
+    plan: PropagatorPlan, amp: jnp.ndarray, phs: jnp.ndarray
+) -> jnp.ndarray:
+    """Target amp/phase -> aperture-filtered spectrum (reference :548-552).
+
+    NOTE: ``phs`` is the dataset's normalized [0, 1] phase; it is scaled by
+    2*pi here, exactly like the reference.
+    """
+    g0 = _fft2(pad(plan, field(amp, (2.0 * np.pi) * phs)))
+    return g0 * plan.mask
+
+
+def freq2ap_all_distances(
+    plan: PropagatorPlan, g0: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Spectrum -> amp/phase at *every* cached distance (reference :524-531).
+
+    g0: (B, C, Rp, Cp) -> returns ((B*D, C, rows, cols) amp, same-shape phase),
+    distance-major within each sample: row b*D + d is sample b at distance d.
+    """
+    gz = g0[:, None] * (plan.H * plan.mask)[None]  # (B, D, C, Rp, Cp)
+    b, d = gz.shape[0], gz.shape[1]
+    gz = crop(plan, _ifft2(gz.reshape(b * d, *gz.shape[2:])))
+    return jnp.abs(gz), _angle(gz)
+
+
+def freq2ap_random_distances(
+    plan: PropagatorPlan, g0: jnp.ndarray, key: jax.Array
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pair each (hat, target) sample with one random cached distance.
+
+    Reference :533-546: ``g0`` is a (2B, C, Rp, Cp) stack — first half
+    generated ("hat"), second half target — and a random permutation of the
+    cached distances (without replacement, so B <= D is required) assigns the
+    *same* distance to hat[i] and target[i].  Returns ((2B, C, rows, cols)
+    amp, phase).
+    """
+    num_d = plan.H.shape[0]
+    b = g0.shape[0] // 2
+    idx = jax.random.permutation(key, num_d)[:b]
+    h = (plan.H * plan.mask)[idx]  # (B, C, Rp, Cp)
+    gz = g0.reshape(2, b, *g0.shape[1:]) * h[None]
+    gz = crop(plan, _ifft2(gz.reshape(2 * b, *g0.shape[1:])))
+    return jnp.abs(gz), _angle(gz)
