@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Headline benchmark: 384x384 RGBD -> POH generation + 3-plane ASM recon.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric matches BASELINE.json config #2: generator forward (UNet ->
+backward ASM -> double-phase) plus a 3-wavelength x 3-plane band-limited ASM
+focal-stack reconstruction, at 384x384 with pad 320 (padded FFT size
+1024x1024).  ``vs_baseline`` compares against the PyTorch reference measured
+on this host's CPU (the only reference hardware available; see BASELINE.md) —
+the stored constant below was produced by ``tools/baseline_torch.py``.
+"""
+
+import json
+import time
+
+# PyTorch reference pipeline on this host CPU (tools/baseline_torch.py):
+# single-sample 384x384 generation + 3-plane recon, POHs/sec.
+TORCH_CPU_BASELINE_POH_PER_SEC = None  # filled in by tools/baseline_torch.py
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from learned_hologram_gan_tpu.config import GeneratorConfig
+    from learned_hologram_gan_tpu.models import Generator, make_generator_plan
+    from learned_hologram_gan_tpu.ops import asm
+
+    cfg = GeneratorConfig(
+        rows=384, cols=384, pad_size=320, filter_radius_coefficient=0.45,
+        dtype="bfloat16",
+    )
+    generator = Generator(cfg)
+    gen_plan = make_generator_plan(cfg)
+    recon_plan = asm.make_plan(
+        cfg.optics(), distances=np.linspace(4e-4, 10e-4, 3)
+    )
+
+    batch = 8
+    rgbd = jnp.asarray(
+        np.random.default_rng(0).random((batch, 4, 384, 384)).astype(np.float32)
+    )
+    variables = generator.init(jax.random.key(0), gen_plan, rgbd[:1], train=False)
+
+    @jax.jit
+    def pipeline(params, batch_stats, rgbd):
+        poh = generator.apply(
+            {"params": params, "batch_stats": batch_stats},
+            gen_plan, rgbd, train=False,
+        )
+        recon = asm.propagate_batch_multi(
+            recon_plan, jnp.ones_like(poh), poh
+        )
+        return poh, recon
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    # warmup / compile
+    jax.block_until_ready(pipeline(params, batch_stats, rgbd))
+
+    reps = 10
+    start = time.perf_counter()
+    for _ in range(reps):
+        out = pipeline(params, batch_stats, rgbd)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    poh_per_sec = reps * batch / elapsed
+    vs = (
+        poh_per_sec / TORCH_CPU_BASELINE_POH_PER_SEC
+        if TORCH_CPU_BASELINE_POH_PER_SEC
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "384x384 POH generation + 3-plane ASM recon",
+                "value": round(poh_per_sec, 3),
+                "unit": "POHs/sec",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Host->device double-buffered prefetch.
+
+The reference copies every sample to the GPU inside ``Dataset.__getitem__``
+(data_loader.py:45-51) — a synchronous per-sample transfer on the training
+critical path.  The TPU-native replacement streams whole batches ahead of the
+compute: a background thread gathers the next batch from the memmap while the
+device is busy, and ``jax.device_put`` (async on TPU) overlaps the host->HBM
+copy with the current step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+
+
+def prefetch_to_device(
+    batch_iter: Iterable,
+    size: int = 2,
+    sharding: Optional[object] = None,
+) -> Iterator:
+    """Iterate device-resident batches, ``size`` batches ahead.
+
+    ``sharding`` (a ``jax.sharding.Sharding``) places each batch directly in
+    its sharded layout — on a multi-chip mesh the host slices go straight to
+    their device without a gather.
+    """
+
+    def _put(batch):
+        if sharding is not None:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in batch_iter:
+                q.put(_put(batch))
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+
+
+def epoch_loader(
+    dataset,
+    batch_size: int,
+    *,
+    shuffle: bool,
+    drop_last: bool,
+    seed: Optional[int] = None,
+    sharding: Optional[object] = None,
+    prefetch: int = 2,
+) -> Iterator:
+    """One epoch of device-ready batches over a memmap dataset."""
+    from .memmap import batch_indices, gather_batch
+
+    def gen():
+        for idx in batch_indices(
+            len(dataset), batch_size, shuffle=shuffle, drop_last=drop_last, seed=seed
+        ):
+            yield gather_batch(dataset, idx)
+
+    return prefetch_to_device(gen(), size=prefetch, sharding=sharding)

@@ -30,6 +30,12 @@ from flax import linen as nn
 
 Dtype = Any
 
+# Reference init scheme (RGBD2AP.py:155-176 / AP2POH.py:232-253): Xavier
+# normal for convs, Kaiming normal (fan_out, relu) for transposed convs,
+# zeros for biases, ones/zeros for norm scale/bias.
+conv_init = nn.initializers.xavier_normal()
+conv_transpose_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
 
 def _conv(features: int, kernel: int, strides: int = 1, dtype: Dtype = jnp.float32):
     return nn.Conv(
@@ -37,6 +43,7 @@ def _conv(features: int, kernel: int, strides: int = 1, dtype: Dtype = jnp.float
         (kernel, kernel),
         strides=(strides, strides),
         padding="SAME" if kernel > 1 else "VALID",
+        kernel_init=conv_init,
         dtype=dtype,
     )
 
@@ -255,6 +262,7 @@ class UNet(nn.Module):
             self.base_features * (2 ** (self.levels - 1)),
             (2, 2),
             strides=(2, 2),
+            kernel_init=conv_transpose_init,
             dtype=self.dtype,
         )(y)
         # Decoder: concat skip, block, up-conv (except after the last block).
@@ -266,6 +274,7 @@ class UNet(nn.Module):
                     self.base_features * (2 ** (i - 1)),
                     (2, 2),
                     strides=(2, 2),
+                    kernel_init=conv_transpose_init,
                     dtype=self.dtype,
                 )(y)
         y = _conv(self.output_channels, 1, 1, self.dtype)(y)

@@ -1,0 +1,89 @@
+"""Device mesh + sharding helpers (new capability — the reference is
+single-GPU only; SURVEY.md section 5 "Distributed communication backend").
+
+The scaling design is GSPMD-first: the train step stays the *global* pure
+function from :mod:`..train.steps`; sharding the batch axis over a
+``Mesh('data')`` makes XLA insert the gradient all-reduces and compute
+BatchNorm statistics over the global batch automatically.  The distance-plane
+axis of focal-stack propagation is embarrassingly parallel and can be sharded
+the same way (see :func:`shard_distance_stack`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_devices: Optional[int] = None, axis_name: str = "data"
+) -> Mesh:
+    """1-D mesh over (the first ``num_devices``) local devices."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis of every array in a batch pytree."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place a host batch with its leading axis split across the mesh."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate_state(state, mesh: Mesh):
+    """Replicate a TrainState (params/opt/stats) on every mesh device."""
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+
+def shard_distance_stack(plan, mesh: Mesh, axis_name: str = "data"):
+    """Shard a PropagatorPlan's cached H stack over its distance axis.
+
+    Each device then applies its slice of the transfer-function stack —
+    distance-plane parallelism for the focal-stack reconstruction (the 4K
+    memory answer from SURVEY.md section 5).  Grids/masks are replicated.
+    """
+    h_sharding = NamedSharding(mesh, P(axis_name))
+    rep = replicated(mesh)
+    return plan.replace(
+        H=jax.device_put(plan.H, h_sharding) if plan.H is not None else None,
+        distances=(
+            jax.device_put(plan.distances, h_sharding)
+            if plan.distances is not None
+            else None
+        ),
+        w_grid=jax.device_put(plan.w_grid, rep),
+        mask=jax.device_put(plan.mask, rep),
+        radial_grid=jax.device_put(plan.radial_grid, rep),
+    )
+
+
+def pad_batch_to_devices(batch, num_devices: int):
+    """Pad the leading axis up to a multiple of the mesh size (edge repeat).
+
+    Lets ragged final batches run on a fixed mesh; callers slice the outputs
+    back down with the returned original size.
+    """
+    def pad(x):
+        b = x.shape[0]
+        rem = (-b) % num_devices
+        if rem == 0:
+            return x
+        reps = np.concatenate([x, np.repeat(x[-1:], rem, axis=0)], axis=0)
+        return reps
+
+    orig = jax.tree.leaves(batch)[0].shape[0]
+    return jax.tree.map(pad, batch), orig

@@ -1,0 +1,134 @@
+"""Checkpointing: per-part single-file saves + full-state Orbax resume.
+
+Two layers, mirroring SURVEY.md section 5:
+
+* **Per-part saves** (:func:`save_generator` / :func:`save_discriminator`) —
+  the reference's ``torch.save(state_dict)`` idiom (watermelon.py:361-374,
+  generator.py:53-54): one file per network holding params + batch stats,
+  serialized with flax msgpack.  These feed the ``pretrained_model_path_G/D``
+  constructor arguments and the two-stage pre-train -> fine-tune workflow.
+* **Full-state checkpoints** (:func:`save_train_state` /
+  :func:`restore_train_state`) — Orbax directories holding the *entire*
+  :class:`TrainState` including both optimizer states and the RNG key, which
+  the reference never persisted; `restore_latest` implements
+  resume-from-latest on restart (the failure-recovery behavior the reference
+  lacks).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+from flax import serialization
+
+from .state import TrainState
+
+
+def epoch_path(path: str, epoch: int) -> str:
+    """``foo.pth`` -> ``foo_epoch{n}.pth`` (reference watermelon.py:363)."""
+    root, ext = os.path.splitext(path)
+    return f"{root}_epoch{epoch}{ext}"
+
+
+def _write(path: str, tree) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(tree)))
+
+
+def _read(path: str, template):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_generator(state: TrainState, path: str) -> None:
+    _write(path, {"params": state.params_G, "batch_stats": state.batch_stats_G})
+
+
+def save_discriminator(state: TrainState, path: str) -> None:
+    _write(path, {"params": state.params_D, "batch_stats": state.batch_stats_D})
+
+
+def load_generator(state: TrainState, path: str) -> TrainState:
+    tpl = {"params": state.params_G, "batch_stats": state.batch_stats_G}
+    loaded = _read(path, tpl)
+    return state.replace(
+        params_G=loaded["params"], batch_stats_G=loaded["batch_stats"]
+    )
+
+
+def load_discriminator(state: TrainState, path: str) -> TrainState:
+    tpl = {"params": state.params_D, "batch_stats": state.batch_stats_D}
+    loaded = _read(path, tpl)
+    return state.replace(
+        params_D=loaded["params"], batch_stats_D=loaded["batch_stats"]
+    )
+
+
+def load_generator_part(state: TrainState, path: str, part: str) -> TrainState:
+    """Load only ``part1`` (RGBD2AP) or ``part2`` (AP2POH) pretrained weights.
+
+    The reference supports per-part pretrained paths with optional freezing
+    (generator.py:26-28, RGBD2AP.py:37-41); freezing is an optimizer concern
+    here (see ``optax.masked`` usage in pretrain.py).
+    """
+    tpl = {
+        "params": state.params_G[part],
+        "batch_stats": state.batch_stats_G.get(part, {}),
+    }
+    loaded = _read(path, tpl)
+    params_G = dict(state.params_G)
+    params_G[part] = loaded["params"]
+    batch_stats_G = dict(state.batch_stats_G)
+    if loaded["batch_stats"]:
+        batch_stats_G[part] = loaded["batch_stats"]
+    return state.replace(params_G=params_G, batch_stats_G=batch_stats_G)
+
+
+# ---------------------------------------------------------------------------
+# Orbax full-state checkpoints
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(state: TrainState, directory: str, step: Optional[int] = None) -> str:
+    """Write the full TrainState under ``directory/step_{n}`` with Orbax."""
+    import orbax.checkpoint as ocp
+
+    step = int(state.step) if step is None else step
+    path = os.path.abspath(os.path.join(directory, f"step_{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_train_state(path: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)
+
+
+def latest_step_dir(directory: str) -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for name in os.listdir(directory):
+        if name.startswith("step_"):
+            try:
+                steps.append((int(name.split("_", 1)[1]), name))
+            except ValueError:
+                continue
+    if not steps:
+        return None
+    return os.path.join(directory, max(steps)[1])
+
+
+def restore_latest(directory: str, template: TrainState) -> Optional[TrainState]:
+    """Resume-from-latest on restart; None if no checkpoint exists."""
+    path = latest_step_dir(directory)
+    if path is None:
+        return None
+    return restore_train_state(path, template)

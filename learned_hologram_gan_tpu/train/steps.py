@@ -1,0 +1,287 @@
+"""Pure jitted GAN train / eval steps.
+
+Functional rebuild of the reference per-batch flow (watermelon.py:207-284):
+
+  1. POH = G(RGBD)                                   (generator forward)
+  2. hat_freq  = POH -> filtered spectrum            (fixed-distance plan)
+  3. target_freq = (amp, phs) -> filtered spectrum   (multi-distance plan)
+  4. random-distance focal-stack recon of cat(hat, target)
+  5. critic updated `discriminator_train_ratio` times with WGAN-GP penalty
+  6. generator updated on the 5-term weighted loss (phase-gradient family,
+     VGG perceptual, pixel MSE, TV, critic score)
+
+Everything happens inside ONE jitted function per step; the two generator
+forwards (one producing the critic's detached reconstructions, one inside
+the generator's grad) are identical subexpressions that XLA CSEs away.
+Gradients and BatchNorm statistics become *global* automatically when the
+batch axis is sharded over a device mesh (GSPMD inserts the collectives) —
+the reference is single-GPU only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import LossConfig
+from ..losses import (
+    PHASE_LOSSES,
+    mse,
+    perceptual_loss,
+    psnr,
+    ssim,
+    total_variation_loss,
+)
+from ..ops import asm
+from .state import TrainState
+
+Batch = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (RGBD, amp, phs)
+
+
+def _apply_g(generator, params, batch_stats, plan, rgbd):
+    poh, mut = generator.apply(
+        {"params": params, "batch_stats": batch_stats},
+        plan,
+        rgbd,
+        train=True,
+        mutable=["batch_stats"],
+    )
+    return poh, mut["batch_stats"]
+
+
+def _apply_d(discriminator, params, batch_stats, x, train=True):
+    if batch_stats:
+        out, mut = discriminator.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=train,
+            mutable=["batch_stats"],
+        )
+        return out, mut["batch_stats"]
+    out = discriminator.apply({"params": params}, x, train=train)
+    return out, batch_stats
+
+
+def _reconstruct(
+    generator,
+    params_G,
+    batch_stats_G,
+    gen_plan: asm.PropagatorPlan,
+    multi_plan: asm.PropagatorPlan,
+    batch: Batch,
+    dist_key: jax.Array,
+):
+    """Steps 1-4: POH + random-distance focal-stack recon of hat & target."""
+    rgbd, target_amp, target_phs = batch
+    poh, new_bs_G = _apply_g(generator, params_G, batch_stats_G, gen_plan, rgbd)
+    hat_freq = asm.propagate_poh2freq_forward(gen_plan, poh)
+    target_freq = asm.filter_ap2filtered_freq(multi_plan, target_amp, target_phs)
+    both = jnp.concatenate([hat_freq, target_freq], axis=0)
+    amps, phss = asm.freq2ap_random_distances(multi_plan, both, dist_key)
+    b = rgbd.shape[0]
+    return (amps[:b], amps[b:], phss[:b], phss[b:]), new_bs_G
+
+
+def gradient_penalty(
+    discriminator,
+    params_D,
+    batch_stats_D,
+    real: jnp.ndarray,
+    fake: jnp.ndarray,
+    key: jax.Array,
+) -> jnp.ndarray:
+    """WGAN-GP penalty ((||grad_x D(x_interp)||_2 - 1)^2).mean().
+
+    Reference compute_gradient_penalty (watermelon.py:458-477).  The critic
+    runs with its current BatchNorm statistics (non-mutable) inside the
+    inner grad; the reference also updates BN running stats on this forward —
+    a momentum-only difference, documented deviation.
+    """
+    alpha = jax.random.uniform(key, (real.shape[0], 1, 1, 1))
+    interp = alpha * real + (1.0 - alpha) * fake
+
+    def critic_sum(x):
+        out, _ = _apply_d(discriminator, params_D, batch_stats_D, x, train=True)
+        return jnp.sum(out)
+
+    grads = jax.grad(critic_sum)(interp)
+    norms = jnp.sqrt(jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, axis=1) + 1e-12)
+    return jnp.mean((norms - 1.0) ** 2)
+
+
+def _g_loss_terms(
+    loss_cfg: LossConfig,
+    vgg_params,
+    hat_amps,
+    target_amps,
+    hat_phs,
+    target_phs,
+    loss_from_discriminator,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """The 5-term weighted generator loss (reference G_loss, watermelon.py:418-445)."""
+    phase_fn = PHASE_LOSSES[loss_cfg.phase_loss]
+    phs_loss = phase_fn(hat_phs, target_phs) * loss_cfg.phs_gradient_loss_weight
+    if loss_cfg.perceptual == "none":
+        p_loss = jnp.float32(0.0)
+    else:
+        p_loss = (
+            perceptual_loss(vgg_params, hat_amps, target_amps)
+            * loss_cfg.perceptual_loss_weight
+        )
+    pixel_loss = mse(hat_amps, target_amps) * loss_cfg.pixel_loss_weight
+    tv_loss = total_variation_loss(hat_amps, target_amps) * loss_cfg.tv_loss_weight
+    gan_loss = loss_from_discriminator * loss_cfg.discriminator_loss_weight
+    loss = phs_loss + p_loss + pixel_loss + tv_loss + gan_loss
+    terms = {
+        "focal_phase_gradient_loss": phs_loss,
+        "perceptual_loss": p_loss,
+        "pixel_loss": pixel_loss,
+        "TV_loss": tv_loss,
+        "gan_loss": gan_loss,
+        "G_loss": loss,
+    }
+    return loss, terms
+
+
+def build_train_step(
+    generator,
+    discriminator,
+    tx_G: optax.GradientTransformation,
+    tx_D: optax.GradientTransformation,
+    loss_cfg: LossConfig,
+    use_gan: bool,
+    discriminator_train_ratio: int,
+    discriminator_lambda: float,
+) -> Callable[[TrainState, Batch, asm.PropagatorPlan, asm.PropagatorPlan], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted (state, batch, gen_plan, multi_plan) -> (state, metrics) step."""
+
+    def train_step(state: TrainState, batch: Batch, gen_plan, multi_plan):
+        key, dist_key, gp_keys_base = jax.random.split(state.key, 3)
+
+        # ---- steps 1-4 once, detached, for critic training + metrics ----
+        (hat_amps, target_amps, hat_phs, target_phs), bs_G_after = _reconstruct(
+            generator, state.params_G, state.batch_stats_G,
+            gen_plan, multi_plan, batch, dist_key,
+        )
+        hat_amps_d = jax.lax.stop_gradient(hat_amps)
+        target_amps_d = jax.lax.stop_gradient(target_amps)
+
+        # ---- step 5: critic updates x ratio (reference :244-261) ----
+        params_D, bs_D, opt_D = state.params_D, state.batch_stats_D, state.opt_state_D
+        d_loss_acc = jnp.float32(0.0)
+        if use_gan and discriminator_train_ratio > 0:
+            gp_keys = jax.random.split(gp_keys_base, discriminator_train_ratio)
+            for i in range(discriminator_train_ratio):
+                def d_loss_fn(p_D, bs_D_in):
+                    real_v, bs1 = _apply_d(discriminator, p_D, bs_D_in, target_amps_d)
+                    fake_v, bs2 = _apply_d(discriminator, p_D, bs1, hat_amps_d)
+                    gp = gradient_penalty(
+                        discriminator, p_D, bs2, target_amps_d, hat_amps_d, gp_keys[i]
+                    )
+                    loss = (
+                        -jnp.mean(real_v)
+                        + jnp.mean(fake_v)
+                        + discriminator_lambda * gp
+                    )
+                    return loss, bs2
+
+                (d_loss, bs_D), d_grads = jax.value_and_grad(
+                    d_loss_fn, has_aux=True
+                )(params_D, bs_D)
+                updates, opt_D = tx_D.update(d_grads, opt_D, params_D)
+                params_D = optax.apply_updates(params_D, updates)
+                d_loss_acc = d_loss_acc + d_loss / discriminator_train_ratio
+
+        # ---- step 6: generator update against the *updated* critic ----
+        def g_loss_fn(p_G):
+            (h_amps, t_amps, h_phs, t_phs), bs_G_new = _reconstruct(
+                generator, p_G, state.batch_stats_G,
+                gen_plan, multi_plan, batch, dist_key,
+            )
+            d_out, _ = _apply_d(discriminator, params_D, bs_D, h_amps)
+            loss_from_d = -jnp.mean(d_out)
+            loss, terms = _g_loss_terms(
+                loss_cfg, state.vgg_params, h_amps, t_amps, h_phs, t_phs, loss_from_d
+            )
+            return loss, (terms, bs_G_new)
+
+        (_, (terms, bs_G_new)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.params_G
+        )
+        updates_G, opt_G = tx_G.update(g_grads, state.opt_state_G, state.params_G)
+        params_G = optax.apply_updates(state.params_G, updates_G)
+
+        metrics = dict(terms)
+        metrics["D_loss"] = d_loss_acc
+        metrics["PSNR"] = psnr(hat_amps_d, target_amps_d)
+        metrics["SSIM"] = ssim(hat_amps_d, target_amps_d)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            key=key,
+            params_G=params_G,
+            batch_stats_G=bs_G_new,
+            params_D=params_D,
+            batch_stats_D=bs_D,
+            opt_state_G=opt_G,
+            opt_state_D=opt_D,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def build_eval_step(
+    generator,
+    discriminator,
+    loss_cfg: LossConfig,
+) -> Callable:
+    """Validation step over ALL cached distances (reference _validate_generator,
+    watermelon.py:479-552): D_batch = G_batch * distance_num, D loss fixed 0."""
+
+    def eval_step(state: TrainState, batch: Batch, gen_plan, multi_plan):
+        rgbd, target_amp, target_phs = batch
+        poh = generator.apply(
+            {"params": state.params_G, "batch_stats": state.batch_stats_G},
+            gen_plan, rgbd, train=False,
+        )
+        hat_freq = asm.propagate_poh2freq_forward(gen_plan, poh)
+        target_freq = asm.filter_ap2filtered_freq(multi_plan, target_amp, target_phs)
+        both = jnp.concatenate([hat_freq, target_freq], axis=0)
+        amps, phss = asm.freq2ap_all_distances(multi_plan, both)
+        half = amps.shape[0] // 2
+        hat_amps, target_amps = amps[:half], amps[half:]
+        hat_phs, target_phs_all = phss[:half], phss[half:]
+
+        d_out, _ = _apply_d(
+            discriminator, state.params_D, state.batch_stats_D, hat_amps, train=False
+        )
+        loss_from_d = -jnp.mean(d_out)
+        _, terms = _g_loss_terms(
+            loss_cfg, state.vgg_params, hat_amps, target_amps,
+            hat_phs, target_phs_all, loss_from_d,
+        )
+        metrics = dict(terms)
+        metrics["D_loss"] = jnp.float32(0.0)
+        metrics["PSNR"] = psnr(hat_amps, target_amps)
+        metrics["SSIM"] = ssim(hat_amps, target_amps)
+        return metrics
+
+    return jax.jit(eval_step)
+
+
+def build_infer_fn(generator) -> Callable:
+    """POH inference forward (reference generatePOH.py:41-43), eval mode."""
+
+    @functools.partial(jax.jit)
+    def infer(params_G, batch_stats_G, gen_plan, rgbd):
+        return generator.apply(
+            {"params": params_G, "batch_stats": batch_stats_G},
+            gen_plan, rgbd, train=False,
+        )
+
+    return infer

@@ -1,0 +1,109 @@
+"""Loss-function unit tests against independent numpy math."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from learned_hologram_gan_tpu import losses
+
+RNG = np.random.default_rng(1)
+
+
+def _rand(*shape):
+    return RNG.random(shape).astype(np.float32)
+
+
+def test_total_variation_matches_numpy():
+    x = _rand(2, 3, 8, 8)
+    got = float(losses.total_variation(jnp.asarray(x)))
+    want = np.mean(np.abs(np.diff(x, axis=3))) + np.mean(np.abs(np.diff(x, axis=2)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_total_variation_for_poh_stride2():
+    x = _rand(1, 3, 8, 8)
+    got = float(losses.total_variation_for_poh(jnp.asarray(x)))
+    want = np.mean(np.abs(x[:, :, :, 2:] - x[:, :, :, :-2])) + np.mean(
+        np.abs(x[:, :, 2:, :] - x[:, :, :-2, :])
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_total_variation_loss_is_abs_difference():
+    a, b = _rand(1, 3, 8, 8), _rand(1, 3, 8, 8)
+    got = float(losses.total_variation_loss(jnp.asarray(a), jnp.asarray(b)))
+    want = abs(
+        float(losses.total_variation(jnp.asarray(a)))
+        - float(losses.total_variation(jnp.asarray(b)))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_amp_loss_decomposition():
+    a, b = _rand(2, 3, 8, 8), _rand(2, 3, 8, 8)
+    got = float(losses.amp_loss(jnp.asarray(a), jnp.asarray(b), alpha=0.5))
+    want = np.mean((a - b) ** 2) + 0.5 * float(
+        losses.total_variation_loss(jnp.asarray(a), jnp.asarray(b))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_amp_phs_loss_on_identical_inputs_is_zero():
+    amp, phs = _rand(1, 3, 8, 8), _rand(1, 3, 8, 8) * 2 * np.pi
+    got = float(
+        losses.amp_phs_loss(
+            jnp.asarray(amp), jnp.asarray(phs), jnp.asarray(amp), jnp.asarray(phs)
+        )
+    )
+    assert got < 1e-10
+
+
+def test_focal_losses_zero_at_equality_and_positive_otherwise():
+    p, q = _rand(1, 3, 8, 8) * 6.28, _rand(1, 3, 8, 8) * 6.28
+    for fn in (
+        losses.focal_sincos_phase_gradient_loss,
+        losses.phase_sincos_gradient_loss,
+        losses.focal_sincos_phase_loss,
+        losses.plain_phase_loss,
+    ):
+        assert float(fn(jnp.asarray(p), jnp.asarray(q))) > 0
+    # equality -> all phase losses vanish (focal variants hit 0/0 -> nan-safe
+    # is not required by the reference; only check the non-focal ones).
+    assert float(losses.plain_phase_loss(jnp.asarray(p), jnp.asarray(p))) == 0
+    assert float(losses.phase_sincos_gradient_loss(jnp.asarray(p), jnp.asarray(p))) == 0
+
+
+def test_focal_weighting_reduces_loss_vs_unweighted():
+    """Focal weight w = d/max(d) <= 1 -> weighted mean <= unweighted mean."""
+    p, q = _rand(1, 3, 16, 16) * 6.28, _rand(1, 3, 16, 16) * 6.28
+    focal = float(losses.focal_sincos_phase_gradient_loss(jnp.asarray(p), jnp.asarray(q)))
+    plain = float(losses.phase_sincos_gradient_loss(jnp.asarray(p), jnp.asarray(q)))
+    assert focal <= plain
+
+
+def test_psnr_known_value():
+    a = np.zeros((1, 3, 8, 8), dtype=np.float32)
+    b = np.full((1, 3, 8, 8), 0.5, dtype=np.float32)
+    b[0, 0, 0, 0] = 1.0
+    a[0, 0, 0, 1] = 0.0
+    got = float(losses.psnr(jnp.asarray(b), jnp.asarray(a)))
+    rng = 1.0  # max over both - min over both
+    mse = np.mean((b - a) ** 2)
+    want = 10 * np.log10(rng**2 / mse)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_ssim_self_is_one_and_noise_lowers_it():
+    x = _rand(2, 3, 32, 32)
+    one = float(losses.ssim(jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(one, 1.0, atol=1e-5)
+    noisy = x + RNG.normal(0, 0.2, x.shape).astype(np.float32)
+    less = float(losses.ssim(jnp.asarray(noisy), jnp.asarray(x)))
+    assert less < 0.95
+
+
+def test_perceptual_loss_random_fallback_runs():
+    params = losses.init_vgg19_params(0)
+    a, b = jnp.asarray(_rand(1, 3, 32, 32)), jnp.asarray(_rand(1, 3, 32, 32))
+    l_ab = float(losses.perceptual_loss(params, a, b))
+    l_aa = float(losses.perceptual_loss(params, a, a))
+    assert l_ab > 0 and l_aa < 1e-8

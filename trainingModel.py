@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Train the hologram generator (flag parity with the reference trainingModel.py).
+
+Like the reference CLI (which imports ``watermelon_without_GAN`` under the
+alias ``watermelon``, reference trainingModel.py:4), the default trainer is
+the non-adversarial variant; pass ``--use_gan`` to run the full WGAN-GP loop.
+All reference flags are accepted with the same names, defaults, and
+semantics; extras added by the TPU rebuild are listed under "TPU options".
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def check_and_create_folder(path):
+    if path and not os.path.exists(path):
+        print(f"Folder {path} does not exist, creating it...")
+        os.makedirs(path)
+
+
+def train_gan(args):
+    # heavy imports after arg parsing so --help stays fast
+    from learned_hologram_gan_tpu.data import ImgDepthAmpPhsDataset, epoch_loader
+    from learned_hologram_gan_tpu.parallel import batch_sharding, make_mesh
+    from learned_hologram_gan_tpu.train import Watermelon
+
+    dataset_train = ImgDepthAmpPhsDataset(
+        img_path=args.train_img_path,
+        depth_path=args.train_depth_path,
+        amp_path=args.train_amp_path,
+        phs_path=args.train_phs_path,
+        samples_num=args.samplesNum,
+        channels_num=args.channlesNum,
+        height=args.height,
+        width=args.width,
+    )
+    dataset_validate = ImgDepthAmpPhsDataset(
+        img_path=args.validate_img_path,
+        depth_path=args.validate_depth_path,
+        amp_path=args.validate_amp_path,
+        phs_path=args.validate_phs_path,
+        samples_num=100,  # reference trainingModel.py:46
+        channels_num=args.channlesNum,
+        height=args.height,
+        width=args.width,
+    )
+
+    sharding = None
+    if args.mesh_devices:
+        mesh = make_mesh(args.mesh_devices)
+        sharding = batch_sharding(mesh)
+
+    seed = 122731  # reference trainingModel.py:18
+    epoch_seed = [seed]
+
+    def loader_train():
+        epoch_seed[0] += 1
+        return epoch_loader(
+            dataset_train, args.batch_size, shuffle=True, drop_last=True,
+            seed=epoch_seed[0], sharding=sharding,
+        )
+
+    def loader_val():
+        return epoch_loader(
+            dataset_validate, max(args.batch_size // 2, 1), shuffle=False,
+            drop_last=False, sharding=sharding,
+        )
+
+    trainer = Watermelon(
+        filter_radius_coefficient=0.45,              # reference :60
+        pad_size=320,                                # reference :61
+        distance_stack=np.linspace(-4e-4, 0.0, 21)[:-1],  # reference :62
+        pretrained_model_path_G=None,
+        pretrained_model_path_D=None,
+        input_shape=(1, 4, args.height, args.width),
+        use_gan=args.use_gan,
+        perceptual=args.perceptual,
+        perceptual_weights_path=args.perceptual_weights,
+        dtype=args.dtype,
+    )
+
+    check_and_create_folder(os.path.dirname(args.save_path_G))
+    check_and_create_folder(os.path.dirname(args.save_path_D))
+    check_and_create_folder(os.path.dirname(args.loss_metrics_file))
+    check_and_create_folder(args.save_path_img)
+
+    trainer.train(
+        data_loader_train=loader_train,
+        data_loader_val=loader_val,
+        phs_gradient_loss_weight=1,                  # reference :76-97 weights
+        perceptual_loss_weight=1e-1,
+        pixel_loss_weight=1,
+        TV_loss_weight=1e-3,
+        discriminator_loss_weight=1e-1,
+        epoch_num=args.epoch_num,
+        lr_G=args.lr_G,
+        lr_D=args.lr_D,
+        save_path_G=args.save_path_G,
+        save_path_D=args.save_path_D,
+        info_print_interval=50,
+        info_plot_interval=50,
+        loss_metrics_file=args.loss_metrics_file,
+        save_path_img=args.save_path_img,
+        checkpoint_iterval=1,
+        discriminator_train_ratio=5,
+        discriminator_lambda=10,
+        step_scheduler_G_gamma=0.9999,
+        step_scheduler_D_gamma=0.9999,
+        visualization_RGBD_AP=dataset_validate[0],
+        seed=seed,
+    )
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="Train a GAN model for hologram generation."
+    )
+
+    # required arguments (names identical to the reference CLI)
+    parser.add_argument('--train_img_path', type=str, required=True, help="Path to training image binary file.")
+    parser.add_argument('--train_depth_path', type=str, required=True, help="Path to training depth binary file.")
+    parser.add_argument('--train_amp_path', type=str, required=True, help="Path to training amplitude binary file.")
+    parser.add_argument('--train_phs_path', type=str, required=True, help="Path to training phase binary file.")
+
+    parser.add_argument('--validate_img_path', type=str, required=True, help="Path to validation image binary file.")
+    parser.add_argument('--validate_depth_path', type=str, required=True, help="Path to validation depth binary file.")
+    parser.add_argument('--validate_amp_path', type=str, required=True, help="Path to validation amplitude binary file.")
+    parser.add_argument('--validate_phs_path', type=str, required=True, help="Path to validation phase binary file.")
+
+    parser.add_argument('--samplesNum', type=int, required=True, help="Number of samples in the dataset.")
+    parser.add_argument('--channlesNum', type=int, required=True, help="Number of channels.")
+    parser.add_argument('--height', type=int, required=True, help="Image height.")
+    parser.add_argument('--width', type=int, required=True, help="Image width.")
+
+    # optional arguments
+    parser.add_argument('--batch_size', type=int, default=4, help="Batch size for training. Default is 4.")
+    parser.add_argument('--lr_G', type=float, default=1e-3, help="Learning rate for generator. Default is 1e-3.")
+    parser.add_argument('--lr_D', type=float, default=1e-3, help="Learning rate for discriminator. Default is 1e-3.")
+    parser.add_argument('--epoch_num', type=int, default=50, help="Number of training epochs. Default is 50.")
+
+    # output paths
+    parser.add_argument('--save_path_G', type=str, required=True, help="Path to save the generator model.")
+    parser.add_argument('--save_path_D', type=str, required=True, help="Path to save the discriminator model.")
+    parser.add_argument('--loss_metrics_file', type=str, required=True, help="Path to save the loss metrics file.")
+    parser.add_argument('--save_path_img', type=str, required=True, help="Path to save generated images.")
+
+    # TPU options (extensions beyond the reference CLI)
+    parser.add_argument('--use_gan', action='store_true',
+                        help="Train the full WGAN-GP variant (reference default is without GAN).")
+    parser.add_argument('--perceptual', type=str, default='vgg19', choices=['vgg19', 'none'],
+                        help="Perceptual loss backend.")
+    parser.add_argument('--perceptual_weights', type=str, default=None,
+                        help="Path to VGG19 weights npz (see tools/convert_vgg19.py).")
+    parser.add_argument('--dtype', type=str, default='float32', choices=['float32', 'bfloat16'],
+                        help="Conv compute dtype (bfloat16 recommended on TPU).")
+    parser.add_argument('--mesh_devices', type=int, default=0,
+                        help="Data-parallel over this many devices (0 = single device).")
+
+    train_gan(parser.parse_args())
