@@ -14,9 +14,11 @@ the stored constant below was produced by ``tools/baseline_torch.py``.
 import json
 import time
 
-# PyTorch reference pipeline on this host CPU (tools/baseline_torch.py):
-# single-sample 384x384 generation + 3-plane recon, POHs/sec.
-TORCH_CPU_BASELINE_POH_PER_SEC = None  # filled in by tools/baseline_torch.py
+# PyTorch reference pipeline on this host CPU (tools/baseline_torch.py,
+# measured 2026-08-16 on the single-core build host): single-sample 384x384
+# generation + 3-plane recon.  The only reference hardware available —
+# BASELINE.md records the context.
+TORCH_CPU_BASELINE_POH_PER_SEC = 0.3342
 
 
 def main():
@@ -44,8 +46,11 @@ def main():
     )
     variables = generator.init(jax.random.key(0), gen_plan, rgbd[:1], train=False)
 
+    # NOTE: plans are jit *arguments*, not closures — closed-over complex
+    # device arrays would be embedded as compile-time constants, forcing a
+    # complex device->host transfer during lowering.
     @jax.jit
-    def pipeline(params, batch_stats, rgbd):
+    def pipeline(params, batch_stats, gen_plan, recon_plan, rgbd):
         poh = generator.apply(
             {"params": params, "batch_stats": batch_stats},
             gen_plan, rgbd, train=False,
@@ -58,14 +63,22 @@ def main():
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
+    def fetch(out):
+        # Force a real device->host round trip: on some transports
+        # block_until_ready resolves before execution finishes, so timing
+        # must anchor on materialized data.  TPU streams execute in order,
+        # so fetching the last result waits for everything queued before it.
+        return float(jnp.sum(out[1][:, :, ::64, ::64]))
+
     # warmup / compile
-    jax.block_until_ready(pipeline(params, batch_stats, rgbd))
+    fetch(pipeline(params, batch_stats, gen_plan, recon_plan, rgbd))
+    fetch(pipeline(params, batch_stats, gen_plan, recon_plan, rgbd))
 
     reps = 10
     start = time.perf_counter()
     for _ in range(reps):
-        out = pipeline(params, batch_stats, rgbd)
-    jax.block_until_ready(out)
+        out = pipeline(params, batch_stats, gen_plan, recon_plan, rgbd)
+    fetch(out)
     elapsed = time.perf_counter() - start
 
     poh_per_sec = reps * batch / elapsed

@@ -199,7 +199,9 @@ def train_ap2poh(
     scheduler = ReduceLROnPlateau(lr, factor=hyperparameter_gamma)
     frc = filter_radius_coefficient
 
-    def forward_loss(params, batch):
+    # plan is threaded as a jit argument (a closed-over complex array would be
+    # baked in as an MLIR constant, forcing complex host transfers at trace).
+    def forward_loss(params, plan, batch):
         amp_raw, phs_raw = batch
         amp, phs = asm.differentiable_lowpass_filter(plan, amp_raw, phs_raw, frc)
         poh = model.apply({"params": params}, plan, amp, phs)
@@ -209,19 +211,21 @@ def train_ap2poh(
         return amp_loss(amp_hat, amp, alpha) + beta * spectrum_loss
 
     @jax.jit
-    def train_step(params, batch_stats, opt_state, batch):
-        loss, grads = jax.value_and_grad(forward_loss)(params, batch)
+    def _train_step_impl(params, opt_state, plan, batch):
+        loss, grads = jax.value_and_grad(forward_loss)(params, plan, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return (
-            optax.apply_updates(params, updates),
-            batch_stats,
-            opt_state,
-            loss * batch[0].shape[0],
-        )
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def train_step(params, batch_stats, opt_state, batch):
+        params, opt_state, loss = _train_step_impl(params, opt_state, plan, batch)
+        return params, batch_stats, opt_state, loss * batch[0].shape[0]
 
     @jax.jit
+    def _eval_step_impl(params, plan, batch):
+        return forward_loss(params, plan, batch)
+
     def eval_step(params, batch_stats, batch):
-        return forward_loss(params, batch) * batch[0].shape[0]
+        return _eval_step_impl(params, plan, batch) * batch[0].shape[0]
 
     return _run_epochs(
         epochs=epochs, params=params, batch_stats={}, tx=tx,

@@ -13,16 +13,32 @@ from typing import Callable
 import jax
 
 
+def _materialize(result) -> None:
+    """Force a true device->host round trip on every leaf's first element.
+
+    ``block_until_ready`` alone is not trusted: some transports resolve the
+    ready-event before execution completes.  A host fetch cannot lie — the
+    bytes must exist.  Device streams execute in order, so fetching the last
+    queued result synchronizes everything before it.
+    """
+    import numpy as np
+
+    for leaf in jax.tree.leaves(result):
+        if hasattr(leaf, "addressable_shards"):
+            np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+
+
 def device_timer(operation: Callable[[], object], repeat: int = 100, warmup: int = 2) -> float:
     """Mean latency of ``operation`` in milliseconds over ``repeat`` runs.
 
-    ``operation`` should return a jax array (or pytree of them); each run is
-    synchronized with ``block_until_ready`` so the number reflects device
+    ``operation`` should return a jax array (or pytree of them); runs are
+    synchronized with a real host fetch so the number reflects device
     execution, not dispatch.
     """
     for _ in range(warmup):
-        jax.block_until_ready(operation())
+        _materialize(operation())
     start = time.perf_counter()
     for _ in range(repeat):
-        jax.block_until_ready(operation())
+        out = operation()
+    _materialize(out)
     return (time.perf_counter() - start) * 1e3 / repeat

@@ -72,7 +72,10 @@ def test_backward_is_conj_and_matches_division():
     phs = RNG.random((2, 3, 32, 32)).astype(np.float32)
     got = np.asarray(asm.propagate_ap2c_backward(plan, jnp.asarray(amp), jnp.asarray(phs)))
     want = numpy_asm(amp, phs, 1e-3, optics, apply_mask=False, backward=True)
-    np.testing.assert_allclose(got, want, atol=2e-4, rtol=0)
+    # theta = -2*pi*z*w is ~1.2e4 rad at z=1mm: float32 phase-wrap error in H
+    # is ~1e-3 (identical in the torch reference — see test_parity_torch for
+    # the tight torch-vs-us comparison); the float64 oracle differs by that.
+    np.testing.assert_allclose(got, want, atol=4e-3, rtol=0)
 
 
 def test_round_trip_forward_backward_identity():
@@ -200,8 +203,9 @@ def test_ap2ap_layout_and_backward():
     out = asm.propagate_ap2ap(plan, jnp.asarray(inter), backward=True)
     assert out.shape == (2, 6, 32, 32)
     want = numpy_asm(amp, phs, 1e-3, optics, apply_mask=False, backward=True)
-    np.testing.assert_allclose(np.asarray(out[:, :3]), np.abs(want), atol=2e-4)
-    np.testing.assert_allclose(np.asarray(out[:, 3:]), np.angle(want), atol=2e-3)
+    # float32 phase-wrap error in H vs the float64 oracle (see above).
+    np.testing.assert_allclose(np.asarray(out[:, :3]), np.abs(want), atol=4e-3)
+    np.testing.assert_allclose(np.asarray(out[:, 3:]), np.angle(want), atol=1e-2)
 
 
 def test_propagate_is_jittable_and_differentiable():

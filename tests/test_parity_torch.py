@@ -1,0 +1,133 @@
+"""Golden parity vs torch numerics (BASELINE.json: POH match <= 1e-3).
+
+An independent torch transcription of the *published ASM formula* — pad ->
+fft2 -> H = exp(-2*pi*i*z*w) (and the circular aperture mask) -> ifft2 ->
+crop — pins the exact float32/complex64 numerics the PyTorch reference
+produces (same torch.fft kernels, same fftfreq conventions).  Our jnp ops
+must agree to <= 1e-3.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from learned_hologram_gan_tpu.config import OpticsConfig
+from learned_hologram_gan_tpu.ops import asm
+
+RNG = np.random.default_rng(21)
+WL = [638e-9, 520e-9, 450e-9]
+
+
+def torch_plan(optics: OpticsConfig):
+    """Precompute w_grid and mask with torch ops (float32, like the reference)."""
+    rp, cp = optics.padded_rows, optics.padded_cols
+    fx = torch.fft.fftfreq(rp, optics.pixel_pitch)
+    fy = torch.fft.fftfreq(cp, optics.pixel_pitch)
+    sq = fx.unsqueeze(1) ** 2 + fy.unsqueeze(0) ** 2
+    wl = torch.tensor(WL)
+    w = torch.sqrt(torch.clamp((1 / wl**2)[:, None, None] - sq[None], min=0))
+    shorter = min(rp, cp)
+    u = torch.fft.fftfreq(rp).unsqueeze(-1)
+    v = torch.fft.fftfreq(cp).unsqueeze(0)
+    d = torch.sqrt(u**2 + v**2) * shorter
+    mask = torch.ones_like(d)
+    mask[d > shorter * optics.filter_radius_coefficient] = 0.0
+    return w, mask
+
+
+def torch_propagate(amp, phs, z, optics, backward=False, apply_mask=True):
+    w, mask = torch_plan(optics)
+    pr, pc = optics.pad_rows, optics.pad_cols
+    g = torch.tensor(amp) * torch.exp(1j * torch.tensor(phs))
+    if pr or pc:
+        g = torch.nn.functional.pad(g, (pc, pc, pr, pr))
+    G = torch.fft.fft2(g)
+    H = torch.exp(-2j * torch.pi * z * w)
+    G = G / H if backward else G * H
+    if apply_mask:
+        G = G * mask
+    gz = torch.fft.ifft2(G)
+    if pr or pc:
+        gz = gz[..., pr:-pr, pc:-pc] if pc else gz[..., pr:-pr, :]
+    return gz
+
+
+def optics(pad=8, frc=0.45):
+    return OpticsConfig(rows=32, cols=32, pad_size=pad,
+                        filter_radius_coefficient=frc, wavelengths=tuple(WL))
+
+
+def test_forward_propagation_parity():
+    o = optics()
+    plan = asm.make_plan(o)
+    amp = RNG.random((1, 3, 32, 32)).astype(np.float32)
+    phs = RNG.random((1, 3, 32, 32)).astype(np.float32) * 2 * np.pi
+    z = 1e-3
+    ours = np.asarray(asm.propagate(plan, jnp.asarray(amp), jnp.asarray(phs), jnp.asarray([z])))
+    theirs = torch.abs(torch_propagate(amp[0], phs[0], z, o)).numpy()[None]
+    assert np.max(np.abs(ours - theirs)) <= 1e-3
+
+
+def test_backward_propagation_parity():
+    """Backward: torch divides by H; we multiply by conj(H).  Must agree."""
+    o = optics(pad=4)
+    plan = asm.make_plan(o, distances=[1e-3])
+    amp = RNG.random((2, 3, 32, 32)).astype(np.float32)
+    phs = RNG.random((2, 3, 32, 32)).astype(np.float32)
+    ours = np.asarray(asm.propagate_ap2c_backward(plan, jnp.asarray(amp), jnp.asarray(phs)))
+    theirs = torch_propagate(amp, phs, 1e-3, o, backward=True, apply_mask=False).numpy()
+    assert np.max(np.abs(ours - theirs)) <= 1e-3
+
+
+def test_poh2ap_forward_parity():
+    o = optics()
+    plan = asm.make_plan(o, distances=[1e-3])
+    poh = RNG.random((1, 3, 32, 32)).astype(np.float32) * 2 * np.pi
+    a_ours, p_ours = asm.propagate_poh2ap_forward(plan, jnp.asarray(poh))
+    gz = torch_propagate(np.ones_like(poh)[0], poh[0], 1e-3, o)
+    assert np.max(np.abs(np.asarray(a_ours)[0] - torch.abs(gz).numpy())) <= 1e-3
+    # compare phases via phasor difference (angle wraps at +-pi)
+    d = np.exp(1j * np.asarray(p_ours)[0]) - np.exp(1j * torch.angle(gz).numpy())
+    amp_t = torch.abs(gz).numpy()
+    assert np.max(np.abs(d[amp_t > 1e-3])) <= 2e-2
+
+
+def test_multi_distance_stack_parity():
+    o = optics(pad=0)
+    ds = np.linspace(4e-4, 1e-3, 3)
+    plan = asm.make_plan(o, distances=ds)
+    amp = RNG.random((2, 3, 32, 32)).astype(np.float32)
+    phs = RNG.random((2, 3, 32, 32)).astype(np.float32)
+    ours = np.asarray(asm.propagate_batch_multi(plan, jnp.asarray(amp), jnp.asarray(phs)))
+    for b in range(2):
+        for j, z in enumerate(ds):
+            theirs = torch.abs(torch_propagate(amp[b], phs[b], float(z), o)).numpy()
+            assert np.max(np.abs(ours[b * 3 + j] - theirs)) <= 1e-3
+
+
+def test_double_phase_poh_parity():
+    """Full AP2POH tail: backward prop + double-phase encode vs torch math."""
+    from learned_hologram_gan_tpu.models import double_phase_encode
+    from learned_hologram_gan_tpu.utils.normalize import amplitude_normalizor
+
+    o = optics(pad=4)
+    plan = asm.make_plan(o, distances=[1e-3])
+    amp = RNG.random((1, 3, 32, 32)).astype(np.float32) + 0.1
+    phs = RNG.random((1, 3, 32, 32)).astype(np.float32)
+
+    g0 = asm.propagate_ap2c_backward(plan, jnp.asarray(amp), jnp.asarray(phs))
+    a_n = amplitude_normalizor(jnp.abs(g0))
+    poh_ours = np.asarray(double_phase_encode(a_n, jnp.arctan2(jnp.imag(g0), jnp.real(g0))))
+
+    gt = torch_propagate(amp, phs, 1e-3, o, backward=True, apply_mask=False)
+    at = torch.abs(gt)
+    mx = at.amax(dim=-1, keepdim=True).amax(dim=-2, keepdim=True)
+    at_n = at / (mx * 1.01)
+    acos = torch.acos(at_n)
+    pt = torch.angle(gt)
+    board = torch.tensor((np.add.outer(np.arange(32), np.arange(32)) % 2).astype(np.float32))
+    poh_t = ((1 - board) * (pt + acos) + board * (pt - acos)).numpy()
+    assert np.max(np.abs(poh_ours - poh_t)) <= 1e-3
