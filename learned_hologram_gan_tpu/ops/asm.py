@@ -123,6 +123,16 @@ def make_plan(
     )
 
 
+def _fftfreq_f32(n: int, d: float) -> np.ndarray:
+    """fftfreq with torch's float32 rounding: int sequence (exact in f32)
+    times the f32-rounded scale 1/(n*d) — bit-identical to
+    ``torch.fft.fftfreq(n, d)``, which numpy's f64-then-cast is not (1-ulp
+    double-rounding differences propagate to ~1e-3 in the transfer function's
+    phase)."""
+    k = (np.fft.fftfreq(n) * n).astype(np.float32)
+    return k * np.float32(1.0 / (n * d))
+
+
 def _w_grid(
     rows: int, cols: int, pixel_pitch: float, wavelengths: Sequence[float]
 ) -> jnp.ndarray:
@@ -130,15 +140,19 @@ def _w_grid(
 
     Matches reference generate_w_grid (angular_spectrum_method.py:155-171):
     fx runs down the rows, fy across the columns (both fftfreq with the pixel
-    pitch as sample spacing).  Computed in float64 on host then cast, so the
-    catastrophic cancellation near the band edge matches the reference's
-    float32 torch result to ulp-level.
+    pitch as sample spacing).  Deliberately computed in *float32* with the
+    same operation order as the torch reference: 1/lambda^2 ~ 2.5e12, so f32
+    rounding perturbs w by O(0.1) absolute near the band edge — matching
+    torch bit-for-bit here is what keeps the <=1e-3 output-parity target;
+    a "more accurate" float64 w would *diverge* from the reference by ~2e-3.
     """
-    fx = np.fft.fftfreq(rows, pixel_pitch)[:, None]
-    fy = np.fft.fftfreq(cols, pixel_pitch)[None, :]
+    fx = _fftfreq_f32(rows, pixel_pitch)[:, None]
+    fy = _fftfreq_f32(cols, pixel_pitch)[None, :]
     sq = (fx * fx + fy * fy)[None, :, :]
-    inv_wl_sq = (1.0 / np.asarray(wavelengths, dtype=np.float64) ** 2)[:, None, None]
-    w = np.sqrt(np.clip(inv_wl_sq - sq, 0.0, None))
+    inv_wl_sq = (
+        1.0 / np.asarray(wavelengths, dtype=np.float32) ** 2
+    )[:, None, None].astype(np.float32)
+    w = np.sqrt(np.clip((inv_wl_sq - sq).astype(np.float32), 0.0, None))
     return jnp.asarray(w, dtype=jnp.float32)
 
 

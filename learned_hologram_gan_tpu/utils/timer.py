@@ -21,11 +21,17 @@ def _materialize(result) -> None:
     bytes must exist.  Device streams execute in order, so fetching the last
     queued result synchronizes everything before it.
     """
+    import jax.numpy as jnp
     import numpy as np
 
     for leaf in jax.tree.leaves(result):
         if hasattr(leaf, "addressable_shards"):
-            np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+            elem = leaf.reshape(-1)[:1]
+            if jnp.iscomplexobj(elem):
+                # complex device->host transfers are not supported on every
+                # transport (e.g. the axon relay); fetch the magnitude.
+                elem = jnp.abs(elem)
+            np.asarray(jax.device_get(elem))
 
 
 def device_timer(operation: Callable[[], object], repeat: int = 100, warmup: int = 2) -> float:
