@@ -75,6 +75,7 @@ class GeneratorConfig:
     unet_base_features: int = 64  # reference UNet encoder1 width
     use_modulation: bool = True  # False = ablation fakeChannelWiseSymmetricConv
     dtype: str = "float32"  # compute dtype for conv blocks ("bfloat16" on TPU)
+    remat: bool = False  # activation checkpointing through the UNet (1080p/4K)
 
     def optics(self) -> OpticsConfig:
         return OpticsConfig(

@@ -60,6 +60,7 @@ class RGBD2AP(nn.Module):
     amplitude_scaler: float = 1.1
     base_features: int = 64
     fourier: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -70,6 +71,7 @@ class RGBD2AP(nn.Module):
             output_channels=6,
             base_features=self.base_features,
             fourier=self.fourier,
+            remat=self.remat,
             dtype=self.dtype,
             name="unet",
         )(nchw_to_nhwc(rgbd), train)
@@ -144,6 +146,7 @@ class Generator(nn.Module):
         self.part1 = RGBD2AP(
             amplitude_scaler=self.config.amplitude_scaler,
             base_features=self.config.unet_base_features,
+            remat=self.config.remat,
             dtype=dtype,
         )
         self.part2 = AP2POH(

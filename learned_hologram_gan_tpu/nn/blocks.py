@@ -240,12 +240,23 @@ class UNet(nn.Module):
     base_features: int = 64
     levels: int = 4
     fourier: bool = False
+    remat: bool = False  # activation checkpointing per conv block (1080p/4K)
     dtype: Dtype = jnp.float32
 
-    def _block(self, feats: int):
-        if self.fourier:
-            return FourierBlock(feats, dtype=self.dtype)
-        return ResidualBlock(feats, use_1x1conv=True, dtype=self.dtype)
+    def _block(self, feats: int, name: str):
+        cls = FourierBlock if self.fourier else None
+        if cls is None:
+            cls = ResidualBlock
+            kwargs = dict(use_1x1conv=True, dtype=self.dtype)
+        else:
+            kwargs = dict(dtype=self.dtype)
+        if self.remat:
+            # rematerialize each block's activations in the backward pass —
+            # trades FLOPs for the memory that dominates at 1080p/4K
+            # (SURVEY.md section 5).  Explicit names keep the param tree
+            # identical to the non-remat variant, so checkpoints interchange.
+            cls = nn.remat(cls, static_argnums=(2,))
+        return cls(feats, name=name, **kwargs)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -253,11 +264,11 @@ class UNet(nn.Module):
         y = x
         # Encoder: block at base * 2^i, then 2x2 max-pool between levels.
         for i in range(self.levels):
-            y = self._block(self.base_features * (2**i))(y, train)
+            y = self._block(self.base_features * (2**i), f"enc_{i}")(y, train)
             skips.append(y)
             y = nn.max_pool(y, (2, 2), strides=(2, 2))
         # Bottleneck + first up-conv.
-        y = self._block(self.base_features * (2**self.levels))(y, train)
+        y = self._block(self.base_features * (2**self.levels), "bottleneck")(y, train)
         y = nn.ConvTranspose(
             self.base_features * (2 ** (self.levels - 1)),
             (2, 2),
@@ -268,7 +279,9 @@ class UNet(nn.Module):
         # Decoder: concat skip, block, up-conv (except after the last block).
         for i in reversed(range(self.levels)):
             y = jnp.concatenate([skips[i], y], axis=-1)
-            y = self._block(self.base_features * (2**i) * (2 if i > 0 else 1))(y, train)
+            y = self._block(
+                self.base_features * (2**i) * (2 if i > 0 else 1), f"dec_{i}"
+            )(y, train)
             if i > 0:
                 y = nn.ConvTranspose(
                     self.base_features * (2 ** (i - 1)),

@@ -81,19 +81,24 @@ class PropagatorPlan:
 
     @property
     def num_distances(self) -> int:
-        return 0 if self.H is None else self.H.shape[0]
+        return 0 if self.distances is None else self.distances.shape[0]
 
 
 def make_plan(
     optics: OpticsConfig,
     distances: Optional[Sequence[float] | jnp.ndarray] = None,
+    cache_h: bool = True,
 ) -> PropagatorPlan:
     """Build a :class:`PropagatorPlan` from an :class:`OpticsConfig`.
 
-    ``distances`` (optional) precomputes the transfer-function stack H for a
-    fixed set of propagation distances — pass a single-element sequence for
-    the reference's fixed-distance propagator and a full stack for its
-    multi-distance one.
+    ``distances`` (optional) fixes the propagation distance stack — pass a
+    single-element sequence for the reference's fixed-distance propagator and
+    a full stack for its multi-distance one.  With ``cache_h=True`` the
+    complex transfer-function stack H is precomputed into HBM (fastest for
+    small stacks); ``cache_h=False`` keeps only the float32 w-grid and
+    computes H on the fly inside each propagation (fused by XLA / the Pallas
+    kernel) — D*C*Rp*Cp*8 bytes of HBM saved, the memory answer for large
+    distance stacks and 1080p/4K grids.
     """
     rp, cp = optics.padded_rows, optics.padded_cols
     w_grid = _w_grid(rp, cp, optics.pixel_pitch, optics.wavelengths)
@@ -105,7 +110,8 @@ def make_plan(
     dist_arr = None
     if distances is not None:
         dist_arr = jnp.atleast_1d(jnp.asarray(distances, dtype=jnp.float32))
-        h = _transfer_function(w_grid, dist_arr)
+        if cache_h:
+            h = _transfer_function(w_grid, dist_arr)
 
     return PropagatorPlan(
         w_grid=w_grid,
@@ -168,6 +174,19 @@ def transfer_function(plan: PropagatorPlan, distances: jnp.ndarray) -> jnp.ndarr
     return _transfer_function(plan.w_grid, distances)
 
 
+def _h_stack(plan: PropagatorPlan) -> jnp.ndarray:
+    """The plan's (D, C, Rp, Cp) transfer stack — cached, or computed on the
+    fly from the w-grid when the plan was built with ``cache_h=False``."""
+    if plan.H is not None:
+        return plan.H
+    if plan.distances is None:
+        raise ValueError(
+            "This primitive needs a plan built with a fixed distance stack; "
+            "pass distances=[...] to make_plan()."
+        )
+    return _transfer_function(plan.w_grid, plan.distances)
+
+
 # ---------------------------------------------------------------------------
 # pad / crop (reference :215-260)
 # ---------------------------------------------------------------------------
@@ -228,7 +247,7 @@ def propagate(
     dim 1 or D broadcasts against H of leading dim D).  For simultaneous
     batch x distance use :func:`propagate_batch_multi`.
     """
-    h = plan.H if distances is None else transfer_function(plan, distances)
+    h = _h_stack(plan) if distances is None else transfer_function(plan, distances)
     g0 = _fft2(pad(plan, field(amp, phs)))
     gz = g0 * (h * plan.mask)
     return jnp.abs(crop(plan, _ifft2(gz)))
@@ -240,7 +259,7 @@ def propagate_p2i(
     distances: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Phase-only -> intensity |field|^2 (reference propagate_P2I :131-139)."""
-    h = plan.H if distances is None else transfer_function(plan, distances)
+    h = _h_stack(plan) if distances is None else transfer_function(plan, distances)
     g0 = _fft2(pad(plan, field(jnp.ones_like(phs), phs)))
     gz = g0 * (h * plan.mask)
     return jnp.abs(crop(plan, _ifft2(gz))) ** 2
@@ -268,7 +287,7 @@ def propagate_ap2ap(
     b = amp_phs.shape[0]
     ap = amp_phs.reshape(b, 3, 2, amp_phs.shape[-2], amp_phs.shape[-1])
     g = field(ap[:, :, 0], ap[:, :, 1])
-    h = plan.H if distances is None else transfer_function(plan, distances)
+    h = _h_stack(plan) if distances is None else transfer_function(plan, distances)
     if backward:
         h = jnp.conj(h)
     gz = crop(plan, _ifft2(_fft2(pad(plan, g)) * h))
@@ -285,13 +304,15 @@ def _angle(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fixed_h(plan: PropagatorPlan) -> jnp.ndarray:
-    """The (C, Rp, Cp) transfer function of the plan's first cached distance."""
-    if plan.H is None:
+    """The (C, Rp, Cp) transfer function of the plan's first fixed distance."""
+    if plan.H is not None:
+        return plan.H[0]
+    if plan.distances is None:
         raise ValueError(
             "This primitive needs a plan built with a fixed distance stack; "
             "pass distances=[z] to make_plan()."
         )
-    return plan.H[0]
+    return _transfer_function(plan.w_grid, plan.distances[:1])[0]
 
 
 def propagate_ap2c_backward(
@@ -377,7 +398,7 @@ def propagate_batch_multi(
     Reference multi-distance __call__ (:503-522): broadcast the batch spectrum
     over every distance's H, then flatten (B, D) into the leading axis.
     """
-    h = plan.H if distances is None else transfer_function(plan, distances)
+    h = _h_stack(plan) if distances is None else transfer_function(plan, distances)
     g0 = _fft2(pad(plan, field(amp, phs)))  # (B, C, Rp, Cp)
     gz = g0[:, None] * (h * plan.mask)[None]  # (B, D, C, Rp, Cp)
     b, d = gz.shape[0], gz.shape[1]
@@ -405,7 +426,7 @@ def freq2ap_all_distances(
     g0: (B, C, Rp, Cp) -> returns ((B*D, C, rows, cols) amp, same-shape phase),
     distance-major within each sample: row b*D + d is sample b at distance d.
     """
-    gz = g0[:, None] * (plan.H * plan.mask)[None]  # (B, D, C, Rp, Cp)
+    gz = g0[:, None] * (_h_stack(plan) * plan.mask)[None]  # (B, D, C, Rp, Cp)
     b, d = gz.shape[0], gz.shape[1]
     gz = crop(plan, _ifft2(gz.reshape(b * d, *gz.shape[2:])))
     return jnp.abs(gz), _angle(gz)
@@ -422,10 +443,14 @@ def freq2ap_random_distances(
     *same* distance to hat[i] and target[i].  Returns ((2B, C, rows, cols)
     amp, phase).
     """
-    num_d = plan.H.shape[0]
+    num_d = plan.num_distances
     b = g0.shape[0] // 2
     idx = jax.random.permutation(key, num_d)[:b]
-    h = (plan.H * plan.mask)[idx]  # (B, C, Rp, Cp)
+    if plan.H is not None:
+        h = (plan.H * plan.mask)[idx]  # (B, C, Rp, Cp)
+    else:
+        # on-the-fly: only the B drawn distances are ever materialized
+        h = _transfer_function(plan.w_grid, plan.distances[idx]) * plan.mask
     gz = g0.reshape(2, b, *g0.shape[1:]) * h[None]
     gz = crop(plan, _ifft2(gz.reshape(2 * b, *g0.shape[1:])))
     return jnp.abs(gz), _angle(gz)

@@ -1,0 +1,74 @@
+"""Memory-scaling features: on-the-fly H (cache_h=False) and remat UNet."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from learned_hologram_gan_tpu.config import GeneratorConfig, OpticsConfig
+from learned_hologram_gan_tpu.models import Generator
+from learned_hologram_gan_tpu.ops import asm
+
+RNG = np.random.default_rng(41)
+
+
+def _plans(cache_h):
+    optics = OpticsConfig(rows=16, cols=16, pad_size=4,
+                          filter_radius_coefficient=0.45)
+    ds = np.linspace(-4e-4, 0.0, 6)[:-1]
+    return asm.make_plan(optics, distances=ds, cache_h=cache_h)
+
+
+def test_on_the_fly_h_matches_cached_everywhere():
+    cached = _plans(True)
+    otf = _plans(False)
+    assert otf.H is None and otf.num_distances == 5
+
+    amp = jnp.asarray(RNG.random((2, 3, 16, 16)).astype(np.float32))
+    phs = jnp.asarray(RNG.random((2, 3, 16, 16)).astype(np.float32))
+
+    # batch-multi propagation
+    a = np.asarray(asm.propagate_batch_multi(cached, amp, phs))
+    b = np.asarray(asm.propagate_batch_multi(otf, amp, phs))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # all-distance focal stack
+    g0 = asm.filter_ap2filtered_freq(cached, amp, phs)
+    a1, p1 = asm.freq2ap_all_distances(cached, g0)
+    a2, p2 = asm.freq2ap_all_distances(otf, g0)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+
+    # random distances (same key -> same draw -> identical)
+    key = jax.random.key(7)
+    both = jnp.concatenate([g0, g0], axis=0)
+    r1, _ = asm.freq2ap_random_distances(cached, both, key)
+    r2, _ = asm.freq2ap_random_distances(otf, both, key)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
+
+    # fixed-distance primitives use distances[0]
+    c1 = np.asarray(asm.propagate_ap2c_backward(cached, amp, phs))
+    c2 = np.asarray(asm.propagate_ap2c_backward(otf, amp, phs))
+    np.testing.assert_allclose(c1, c2, atol=1e-6)
+
+
+def test_remat_generator_same_output_and_grads():
+    cfg = dict(rows=16, cols=16, pad_size=4, filter_radius_coefficient=0.45,
+               unet_base_features=2, distance=1e-3)
+    gen_plain = Generator(GeneratorConfig(**cfg))
+    gen_remat = Generator(GeneratorConfig(**cfg, remat=True))
+    plan = asm.make_plan(GeneratorConfig(**cfg).optics(), distances=[1e-3])
+    rgbd = jnp.asarray(RNG.random((1, 4, 16, 16)).astype(np.float32))
+
+    v = gen_plain.init(jax.random.key(0), plan, rgbd)
+
+    def loss(gen, params):
+        poh, _ = gen.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            plan, rgbd, train=True, mutable=["batch_stats"],
+        )
+        return jnp.mean(poh**2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(gen_plain, p))(v["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(gen_remat, p))(v["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
