@@ -9,6 +9,7 @@ from .misc import (
     unzip_file,
 )
 from .normalize import amplitude_normalizor, tensor_normalizor_2d
+from .profiling import annotate, profile_op, trace
 from .seed import set_seed
 from .timer import device_timer
 

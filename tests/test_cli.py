@@ -1,0 +1,104 @@
+"""CLI smoke tests (subprocess, CPU-forced) — flag parity with the reference."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, timeout=900):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def _write_bins(tmp_path, n, c, h, w, names=("img", "depth", "amp", "phs")):
+    rng = np.random.default_rng(17)
+    paths = {}
+    for name in names:
+        a = rng.random((n, c, h, w)).astype(np.float32)
+        p = str(tmp_path / f"{name}.bin")
+        a.tofile(p)
+        paths[name] = p
+    return paths
+
+
+def test_exr2bin_cli(tmp_path):
+    from test_data import write_exr
+
+    root = tmp_path / "root"
+    sub = root / "imgs"
+    sub.mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    for i in range(2):
+        write_exr(str(sub / f"{i}.exr"), rng.random((3, 6, 6)).astype(np.float32),
+                  compression=3)
+    r = run_cli(["exr2bin.py", str(root), "--channelsNum", "3",
+                 "--height", "6", "--width", "6"])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(root / "imgs.bin")
+
+    # missing-parameter messages match the reference behavior
+    r2 = run_cli(["exr2bin.py", str(root)])
+    assert r2.returncode == 1
+    assert "channelsNum parameter is missing" in r2.stdout
+
+
+def test_generate_poh_cli(tmp_path):
+    paths = _write_bins(tmp_path, n=3, c=3, h=32, w=32, names=("img", "depth"))
+    poh_out = str(tmp_path / "poh.npy")
+    out_dir = str(tmp_path / "recon")
+    r = run_cli([
+        "generatePOH.py",
+        "--img_path", paths["img"], "--depth_path", paths["depth"],
+        "--index", "1", "--model_path", str(tmp_path / "missing.msgpack"),
+        "--poh_output_path", poh_out,
+        "--samplesNum", "3", "--sample_row_num", "32", "--sample_col_num", "32",
+        "--pad_size", "8",
+        "--propagate", "--num_intervals", "3", "--output_image_dir", out_dir,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    poh = np.load(poh_out)
+    assert poh.shape == (3, 32, 32)
+    assert np.isfinite(poh).all()
+    pngs = sorted(os.listdir(out_dir))
+    assert pngs == ["0.png", "1.png", "2.png"]
+
+
+@pytest.mark.slow
+def test_training_model_cli(tmp_path):
+    h = w = 16
+    train = _write_bins(tmp_path / "train", 0, 0, 0, 0) if False else None
+    (tmp_path / "train").mkdir()
+    (tmp_path / "val").mkdir()
+    tr = _write_bins(tmp_path / "train", n=4, c=3, h=h, w=w)
+    # validation set must have 100 samples (CLI parity hardcodes samplesNum=100)
+    va = _write_bins(tmp_path / "val", n=100, c=3, h=h, w=w)
+    r = run_cli([
+        "trainingModel.py",
+        "--train_img_path", tr["img"], "--train_depth_path", tr["depth"],
+        "--train_amp_path", tr["amp"], "--train_phs_path", tr["phs"],
+        "--validate_img_path", va["img"], "--validate_depth_path", va["depth"],
+        "--validate_amp_path", va["amp"], "--validate_phs_path", va["phs"],
+        "--samplesNum", "4", "--channlesNum", "3", "--height", str(h), "--width", str(w),
+        "--batch_size", "4", "--epoch_num", "1",
+        "--save_path_G", str(tmp_path / "out" / "G.msgpack"),
+        "--save_path_D", str(tmp_path / "out" / "D.msgpack"),
+        "--loss_metrics_file", str(tmp_path / "out" / "hist.json"),
+        "--save_path_img", str(tmp_path / "imgs"),
+        "--perceptual", "none",
+    ], timeout=3000)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(tmp_path / "out" / "G.msgpack")
+    with open(tmp_path / "out" / "hist.json") as f:
+        hist = json.load(f)
+    assert "train_losses_tensor" in hist
