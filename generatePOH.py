@@ -59,6 +59,7 @@ def main(args):
         wavelengths=tuple(args.wave_length),
         distance=args.distance,
         dtype=args.dtype,
+        unet_base_features=args.unet_base_features,
     )
     generator = Generator(gen_config)
     gen_plan = make_generator_plan(gen_config)
@@ -145,6 +146,8 @@ if __name__ == "__main__":
 
     # TPU options (extensions beyond the reference CLI)
     parser.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--unet_base_features", type=int, default=64,
+                        help="UNet width multiplier (reference architecture = 64).")
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="Shard the focal-stack distance axis over this many devices.")
 

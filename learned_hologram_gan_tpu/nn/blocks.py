@@ -276,12 +276,12 @@ class UNet(nn.Module):
             kernel_init=conv_transpose_init,
             dtype=self.dtype,
         )(y)
-        # Decoder: concat skip, block, up-conv (except after the last block).
+        # Decoder: concat skip (doubling channels), block back down to
+        # base * 2^i, up-conv to base * 2^(i-1) (reference :274-289: decoder1
+        # maps cat(512, 512) -> 512 -> up 256, ... decoder4 -> 64).
         for i in reversed(range(self.levels)):
             y = jnp.concatenate([skips[i], y], axis=-1)
-            y = self._block(
-                self.base_features * (2**i) * (2 if i > 0 else 1), f"dec_{i}"
-            )(y, train)
+            y = self._block(self.base_features * (2**i), f"dec_{i}")(y, train)
             if i > 0:
                 y = nn.ConvTranspose(
                     self.base_features * (2 ** (i - 1)),

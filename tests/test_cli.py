@@ -63,9 +63,9 @@ def test_generate_poh_cli(tmp_path):
         "--index", "1", "--model_path", str(tmp_path / "missing.msgpack"),
         "--poh_output_path", poh_out,
         "--samplesNum", "3", "--sample_row_num", "32", "--sample_col_num", "32",
-        "--pad_size", "8",
+        "--pad_size", "8", "--unet_base_features", "2",
         "--propagate", "--num_intervals", "3", "--output_image_dir", out_dir,
-    ])
+    ], timeout=1500)
     assert r.returncode == 0, r.stderr[-2000:]
     poh = np.load(poh_out)
     assert poh.shape == (3, 32, 32)
@@ -95,7 +95,7 @@ def test_training_model_cli(tmp_path):
         "--save_path_D", str(tmp_path / "out" / "D.msgpack"),
         "--loss_metrics_file", str(tmp_path / "out" / "hist.json"),
         "--save_path_img", str(tmp_path / "imgs"),
-        "--perceptual", "none",
+        "--perceptual", "none", "--unet_base_features", "2",
     ], timeout=3000)
     assert r.returncode == 0, r.stderr[-3000:]
     assert os.path.exists(tmp_path / "out" / "G.msgpack")

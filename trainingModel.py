@@ -79,6 +79,7 @@ def train_gan(args):
         perceptual=args.perceptual,
         perceptual_weights_path=args.perceptual_weights,
         dtype=args.dtype,
+        unet_base_features=args.unet_base_features,
     )
 
     check_and_create_folder(os.path.dirname(args.save_path_G))
@@ -157,5 +158,7 @@ if __name__ == "__main__":
                         help="Conv compute dtype (bfloat16 recommended on TPU).")
     parser.add_argument('--mesh_devices', type=int, default=0,
                         help="Data-parallel over this many devices (0 = single device).")
+    parser.add_argument('--unet_base_features', type=int, default=64,
+                        help="UNet width multiplier (reference architecture = 64).")
 
     train_gan(parser.parse_args())
