@@ -42,7 +42,7 @@ except Exception:  # pragma: no cover
 
 def _kernel(dist_ref, g0r_ref, g0i_ref, w_ref, mask_ref, outr_ref, outi_ref):
     """One (TILE_R, Cp) tile: out = G0 * exp(-2*pi*i*z*w) * mask."""
-    z = dist_ref[0, 0]
+    z = dist_ref[pl.program_id(1), 0]  # whole distance stack lives in SMEM
     theta = (-2.0 * np.pi) * z * w_ref[0]          # (TILE_R, Cp)
     hr = jnp.cos(theta)
     hi = jnp.sin(theta)
@@ -81,7 +81,7 @@ def apply_transfer_stack(
     grid = (b, d, c, n_tiles)
 
     def dist_map(ib, id_, ic, ir):
-        return (id_, 0)
+        return (0, 0)
 
     def g0_map(ib, id_, ic, ir):
         return (ib, ic, ir, 0)
@@ -105,7 +105,7 @@ def apply_transfer_stack(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), dist_map, **smem),
+            pl.BlockSpec((d, 1), dist_map, **smem),
             pl.BlockSpec((1, 1, tile_rows, cp), g0_map, **common),
             pl.BlockSpec((1, 1, tile_rows, cp), g0_map, **common),
             pl.BlockSpec((1, tile_rows, cp), w_map, **common),
