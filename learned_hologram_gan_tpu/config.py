@@ -37,6 +37,11 @@ class OpticsConfig:
     filter_radius_coefficient: float = 0.5
     pixel_pitch: float = DEFAULT_PIXEL_PITCH
     wavelengths: Tuple[float, ...] = DEFAULT_WAVELENGTHS
+    # Override the aspect-derived column padding (TPU extension): at 4K the
+    # reference formula can land on FFT-hostile sizes (e.g. 4968 = 2^3*3^3*23
+    # forces Bluestein and blows memory); pick a 2/3/5-smooth padded width
+    # with utils/fftlen.good_fft_pads instead.
+    pad_cols_override: Optional[int] = None
 
     @property
     def pad_rows(self) -> int:
@@ -44,6 +49,8 @@ class OpticsConfig:
 
     @property
     def pad_cols(self) -> int:
+        if self.pad_cols_override is not None:
+            return self.pad_cols_override
         return int(self.pad_size * (self.cols / self.rows))
 
     @property
@@ -76,6 +83,7 @@ class GeneratorConfig:
     use_modulation: bool = True  # False = ablation fakeChannelWiseSymmetricConv
     dtype: str = "float32"  # compute dtype for conv blocks ("bfloat16" on TPU)
     remat: bool = False  # activation checkpointing through the UNet (1080p/4K)
+    pad_cols_override: Optional[int] = None  # see OpticsConfig
 
     def optics(self) -> OpticsConfig:
         return OpticsConfig(
@@ -85,6 +93,7 @@ class GeneratorConfig:
             filter_radius_coefficient=self.filter_radius_coefficient,
             pixel_pitch=self.pixel_pitch,
             wavelengths=self.wavelengths,
+            pad_cols_override=self.pad_cols_override,
         )
 
 

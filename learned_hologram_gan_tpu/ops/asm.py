@@ -392,16 +392,40 @@ def propagate_batch_multi(
     amp: jnp.ndarray,
     phs: jnp.ndarray,
     distances: Optional[jnp.ndarray] = None,
+    sequential: bool = False,
 ) -> jnp.ndarray:
     """Batch x multi-distance propagation -> (B*D, C, rows, cols) amplitudes.
 
     Reference multi-distance __call__ (:503-522): broadcast the batch spectrum
     over every distance's H, then flatten (B, D) into the leading axis.
+
+    ``sequential=True`` maps over distances with ``lax.map`` instead of
+    materializing the full (B, D, C, Rp, Cp) spectrum stack — peak memory is
+    one padded plane set regardless of D (the single-chip 1080p/4K mode; the
+    multi-chip equivalent is parallel.fft.sharded_propagate_batch_multi).
     """
-    h = _h_stack(plan) if distances is None else transfer_function(plan, distances)
+    if distances is None:
+        if plan.distances is None:
+            raise ValueError("plan has no distance stack and none was passed")
+        distances = plan.distances
+    distances = jnp.atleast_1d(jnp.asarray(distances, dtype=jnp.float32))
     g0 = _fft2(pad(plan, field(amp, phs)))  # (B, C, Rp, Cp)
+    b, d = g0.shape[0], distances.shape[0]
+
+    if sequential:
+        def one(z):
+            h = _transfer_function(plan.w_grid, z[None])[0]
+            return jnp.abs(crop(plan, _ifft2(g0 * (h * plan.mask))))
+
+        stack = jax.lax.map(one, distances)  # (D, B, C, rows, cols)
+        return stack.transpose(1, 0, 2, 3, 4).reshape(b * d, *stack.shape[2:])
+
+    h = (
+        _h_stack(plan)
+        if plan.distances is not None and distances is plan.distances
+        else _transfer_function(plan.w_grid, distances)
+    )
     gz = g0[:, None] * (h * plan.mask)[None]  # (B, D, C, Rp, Cp)
-    b, d = gz.shape[0], gz.shape[1]
     gz = gz.reshape(b * d, *gz.shape[2:])
     return jnp.abs(crop(plan, _ifft2(gz)))
 

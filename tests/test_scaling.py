@@ -72,3 +72,28 @@ def test_remat_generator_same_output_and_grads():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sequential_batch_multi_matches_dense():
+    optics = OpticsConfig(rows=16, cols=16, pad_size=4,
+                          filter_radius_coefficient=0.45)
+    ds = np.linspace(4e-4, 1e-3, 4)
+    plan = asm.make_plan(optics, distances=ds, cache_h=False)
+    amp = jnp.asarray(RNG.random((2, 3, 16, 16)).astype(np.float32))
+    phs = jnp.asarray(RNG.random((2, 3, 16, 16)).astype(np.float32))
+    dense = np.asarray(asm.propagate_batch_multi(plan, amp, phs))
+    seq = np.asarray(asm.propagate_batch_multi(plan, amp, phs, sequential=True))
+    np.testing.assert_allclose(seq, dense, atol=1e-6)
+
+
+def test_good_fft_pads_are_smooth_and_sufficient():
+    from learned_hologram_gan_tpu.utils.fftlen import good_fft_pads, is_smooth
+
+    pr, pc = good_fft_pads(2176, 3840, 320)
+    assert pr >= 320 and pc >= int(320 * 3840 / 2176)
+    assert is_smooth(2176 + 2 * pr) and is_smooth(3840 + 2 * pc)
+    # the override plumbs through OpticsConfig
+    from learned_hologram_gan_tpu.config import OpticsConfig as OC
+
+    o = OC(rows=2176, cols=3840, pad_size=pr, pad_cols_override=pc)
+    assert o.padded_rows == 2176 + 2 * pr and o.padded_cols == 3840 + 2 * pc
