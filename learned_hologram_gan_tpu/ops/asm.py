@@ -221,11 +221,37 @@ def field(amp: jnp.ndarray, phs: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.complex(amp * jnp.cos(phs), amp * jnp.sin(phs))
 
 
+# FFT backend: "xla" (jnp.fft custom-call) or "mxu" (batched-GEMM four-step
+# FFT, ops/mxu_fft.py — lets XLA fuse the transfer-function multiplies into
+# the transform and keeps the systolic array busy).  Settable globally; the
+# numerics agree to ~1e-5 (tests/test_mxu_fft.py).
+_FFT_BACKEND = "xla"
+
+
+def set_fft_backend(name: str) -> None:
+    global _FFT_BACKEND
+    if name not in ("xla", "mxu"):
+        raise ValueError(f"unknown fft backend {name!r}")
+    _FFT_BACKEND = name
+
+
+def get_fft_backend() -> str:
+    return _FFT_BACKEND
+
+
 def _fft2(x: jnp.ndarray) -> jnp.ndarray:
+    if _FFT_BACKEND == "mxu":
+        from . import mxu_fft
+
+        return mxu_fft.fft2_mxu(x)
     return jnp.fft.fft2(x)
 
 
 def _ifft2(x: jnp.ndarray) -> jnp.ndarray:
+    if _FFT_BACKEND == "mxu":
+        from . import mxu_fft
+
+        return mxu_fft.ifft2_mxu(x)
     return jnp.fft.ifft2(x)
 
 
