@@ -61,12 +61,15 @@ def _unpredict_and_interleave(raw: bytes) -> bytes:
 def read_exr(filename: str) -> np.ndarray:
     """Read an EXR's R, G, B channels -> float32 array of shape (3, H, W).
 
-    Matches reference data_processor.read_exr (:20-48).
+    Matches reference data_processor.read_exr (:20-48).  Decoder priority:
+    OpenEXR bindings (if installed) > the native C++ block decoder
+    (native/libexr_decode.so, see tools/build_native.sh) > pure Python.
     """
     try:
         return _read_exr_openexr(filename)
     except ImportError:
-        return _read_exr_pure(filename)
+        pass
+    return _read_exr_pure(filename)
 
 
 def _read_exr_openexr(filename: str) -> np.ndarray:
@@ -88,10 +91,8 @@ def _read_exr_openexr(filename: str) -> np.ndarray:
     return np.stack(chans).astype(np.float32)
 
 
-def _read_exr_pure(filename: str) -> np.ndarray:
-    with open(filename, "rb") as fh:
-        buf = fh.read()
-
+def _parse_exr_header(filename: str, buf: bytes):
+    """Parse magic/version/attributes/offset table of a scanline EXR."""
     magic, version = struct.unpack_from("<ii", buf, 0)
     if magic != _MAGIC:
         raise ValueError(f"{filename}: not an EXR file")
@@ -102,7 +103,6 @@ def _read_exr_pure(filename: str) -> np.ndarray:
     if version & 0x100:
         raise NotImplementedError("tiled EXR not supported (scanline only)")
 
-    # --- header attributes ---
     off = 8
     attrs: Dict[str, bytes] = {}
     while True:
@@ -119,18 +119,106 @@ def _read_exr_pure(filename: str) -> np.ndarray:
     compression = attrs["compression"][0]
     if compression not in _SUPPORTED_COMPRESSION:
         raise NotImplementedError(
-            f"EXR compression id {compression} not supported by the pure-Python "
-            "decoder (NONE/ZIPS/ZIP are); install OpenEXR for PIZ/PXR24/DWA."
+            f"EXR compression id {compression} not supported by the built-in "
+            "decoders (NONE/ZIPS/ZIP are); install OpenEXR for PIZ/PXR24/DWA."
         )
     x_min, y_min, x_max, y_max = struct.unpack("<4i", attrs["dataWindow"])
     width = x_max - x_min + 1
     height = y_max - y_min + 1
-
     block_lines = _BLOCK_LINES[compression]
     num_blocks = (height + block_lines - 1) // block_lines
-
-    # --- offset table ---
     offsets = struct.unpack_from(f"<{num_blocks}Q", buf, off)
+    return channels, compression, (y_min, y_max, height, width), block_lines, offsets
+
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    """ctypes handle to native/libexr_decode.so, or None."""
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    import ctypes
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    so = os.path.join(root, "native", "libexr_decode.so")
+    src = os.path.join(root, "native", "exr_decode.cpp")
+    if not os.path.exists(so) and os.path.exists(src):
+        # auto-build once if a toolchain is available (tools/build_native.sh)
+        import shutil
+        import subprocess
+
+        gxx = shutil.which("g++")
+        if gxx:
+            try:
+                subprocess.run(
+                    [gxx, "-O3", "-fPIC", "-shared", "-o", so, src, "-lz"],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except (subprocess.SubprocessError, OSError):
+                pass
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.exr_decode_blocks.restype = ctypes.c_int
+        lib.exr_decode_blocks.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _NATIVE_LIB = lib
+    except OSError:
+        _NATIVE_LIB = None
+    return _NATIVE_LIB
+
+
+def _decode_native(buf, channels, compression, window, block_lines, offsets):
+    """Decode all scanline blocks with the C++ library; None on failure."""
+    import ctypes
+
+    lib = _native_lib()
+    if lib is None:
+        return None
+    y_min, _y_max, height, width = window
+    n_ch = len(channels)
+    out = np.empty((n_ch, height, width), dtype=np.float32)
+    offs = (ctypes.c_uint64 * len(offsets))(*offsets)
+    ptypes = (ctypes.c_int32 * n_ch)(*[pt for _, pt in channels])
+    rc = lib.exr_decode_blocks(
+        buf, len(buf), offs, len(offsets),
+        block_lines, 1 if compression in (2, 3) else 0, y_min,
+        height, width, n_ch, ptypes,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        return None
+    return {name: out[i] for i, (name, _) in enumerate(channels)}
+
+
+def _read_exr_pure(filename: str) -> np.ndarray:
+    with open(filename, "rb") as fh:
+        buf = fh.read()
+
+    channels, compression, window, block_lines, offsets = _parse_exr_header(
+        filename, buf
+    )
+    y_min, y_max, height, width = window
+
+    planes = _decode_native(buf, channels, compression, window, block_lines, offsets)
+    if planes is not None:
+        missing = [c for c in ("R", "G", "B") if c not in planes]
+        if missing:
+            raise ValueError(f"{filename}: missing channels {missing}")
+        return np.stack([planes["R"], planes["G"], planes["B"]]).astype(np.float32)
 
     # line pitch per channel (bytes) and per full scanline
     ch_dtypes = [_PIXEL_DTYPES[pt] for _, pt in channels]

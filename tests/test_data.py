@@ -185,3 +185,24 @@ def test_epoch_loader_prefetches_device_batches(tmp_path):
     assert batches[0].shape == (2, 4, 4, 4)
     import jax
     assert isinstance(batches[0], jax.Array)
+
+
+def test_native_decoder_matches_python(tmp_path):
+    """The C++ block decoder must be bit-identical to the python fallback."""
+    from learned_hologram_gan_tpu.data import exr as exr_mod
+
+    if exr_mod._native_lib() is None:
+        pytest.skip("native decoder unavailable (no toolchain)")
+    rng = np.random.default_rng(12)
+    for comp, half in ((0, False), (2, False), (3, False), (3, True)):
+        rgb = rng.random((3, 21, 18)).astype(np.float32)
+        p = str(tmp_path / f"n_{comp}_{half}.exr")
+        write_exr(p, rgb, compression=comp, half=half)
+        native = exr_mod._read_exr_pure(p)
+        saved = exr_mod._NATIVE_LIB
+        exr_mod._NATIVE_LIB = None
+        try:
+            pure = exr_mod._read_exr_pure(p)
+        finally:
+            exr_mod._NATIVE_LIB = saved
+        np.testing.assert_array_equal(native, pure)
