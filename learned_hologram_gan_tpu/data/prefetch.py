@@ -36,11 +36,14 @@ def prefetch_to_device(
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    error: list = []
 
     def producer():
         try:
             for batch in batch_iter:
                 q.put(_put(batch))
+        except BaseException as e:  # propagate into the consumer, don't truncate
+            error.append(e)
         finally:
             q.put(sentinel)
 
@@ -49,6 +52,8 @@ def prefetch_to_device(
     while True:
         item = q.get()
         if item is sentinel:
+            if error:
+                raise error[0]
             break
         yield item
 

@@ -495,6 +495,12 @@ def freq2ap_random_distances(
     """
     num_d = plan.num_distances
     b = g0.shape[0] // 2
+    if b > num_d:
+        raise ValueError(
+            f"random-distance draw needs batch <= num_distances (got batch {b}, "
+            f"{num_d} cached distances): distances are drawn without "
+            "replacement, matching the reference's randperm (:536)."
+        )
     idx = jax.random.permutation(key, num_d)[:b]
     if plan.H is not None:
         h = (plan.H * plan.mask)[idx]  # (B, C, Rp, Cp)
