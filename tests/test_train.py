@@ -153,3 +153,17 @@ def test_determinism_same_seed_same_step():
         )
         results.append(hist["train_losses_tensor"]["G_loss"][0])
     assert results[0] == results[1]
+
+
+def test_gan_training_with_vgg_perceptual_path():
+    """The perceptual='vgg19' branch must run inside the jitted step
+    (random-weight fallback; 5 taps down to 1x1 at 16x16 input)."""
+    trainer = tiny_trainer(use_gan=False, perceptual="vgg19")
+    batch = synthetic_batches(1)[0]
+    hist = trainer.train(
+        data_loader_train=lambda: iter([batch]),
+        data_loader_val=lambda: iter([batch]),
+        epoch_num=1, info_print_interval=1, checkpoint_iterval=10,
+    )
+    p = hist["train_losses_tensor"]["perceptual_loss"][0]
+    assert np.isfinite(p) and p > 0.0
