@@ -150,3 +150,45 @@ def test_fake_discriminator_constant_zero_with_param():
     y = d.apply(vars_, x)
     assert y.shape == (1,) and float(y[0]) == 0.0
     assert "a" in vars_["params"]
+
+
+def test_resnet_family_shapes():
+    """miniResNet / ResNet / ResNetPOH / RGBDUNet / Fourier UNet run-throughs."""
+    x = jnp.ones((1, 16, 16, 4))
+    for mk, out_ch in ((blocks.MiniResNet, 3), (blocks.ResNet, 2)):
+        m = mk(output_channels=out_ch)
+        vars_ = m.init(jax.random.key(0), x)
+        y, _ = m.apply(vars_, x, mutable=["batch_stats"])
+        assert y.shape == (1, 16, 16, out_ch)
+        assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+    poh = blocks.ResNetPOH(output_channels=3)
+    vars_ = poh.init(jax.random.key(0), x)
+    y, _ = poh.apply(vars_, x, mutable=["batch_stats"])
+    # sigmoid scaled to [0, 2*pi] phase output (reference :180-185)
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 2 * np.pi + 1e-5
+
+    rgbd = blocks.RGBDUNet(base_features=2)
+    vars_ = rgbd.init(jax.random.key(0), x)
+    y, _ = rgbd.apply(vars_, x, mutable=["batch_stats"])
+    assert y.shape == (1, 16, 16, 6)
+
+    fu = blocks.UNet(output_channels=6, base_features=2, levels=2, fourier=True)
+    vars_ = fu.init(jax.random.key(0), x)
+    y, _ = fu.apply(vars_, x, mutable=["batch_stats"])
+    assert y.shape == (1, 16, 16, 6)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_propagate_p2i_is_squared_magnitude():
+    from learned_hologram_gan_tpu.ops import asm as asm_mod
+    from learned_hologram_gan_tpu.config import OpticsConfig
+
+    optics = OpticsConfig(rows=16, cols=16, pad_size=4,
+                          filter_radius_coefficient=0.45)
+    plan = asm_mod.make_plan(optics, distances=[1e-3])
+    phs = jnp.asarray(RNG.random((1, 3, 16, 16)).astype(np.float32))
+    intensity = asm_mod.propagate_p2i(plan, phs)
+    amp = asm_mod.propagate(plan, jnp.ones_like(phs), phs)
+    np.testing.assert_allclose(np.asarray(intensity), np.asarray(amp) ** 2,
+                               atol=1e-5)
