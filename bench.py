@@ -100,4 +100,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The TPU relay occasionally wedges a process (UNIMPLEMENTED on valid
+    # ops); a fresh attempt usually succeeds.  Retry before giving up so a
+    # transient doesn't lose the benchmark record.
+    import traceback
+
+    last = None
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # pragma: no cover
+            last = e
+            traceback.print_exc()
+            time.sleep(10)
+    else:
+        raise last
