@@ -11,7 +11,7 @@ the same way (see :func:`shard_distance_stack`).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

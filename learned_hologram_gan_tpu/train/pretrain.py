@@ -9,11 +9,10 @@ maps onto ``optax.contrib.reduce_on_plateau`` with the same constants.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional, Tuple
+from typing import Callable, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..losses import amp_loss, amp_phs_loss

@@ -8,7 +8,7 @@ call (optimizer state included, which the reference never persisted).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

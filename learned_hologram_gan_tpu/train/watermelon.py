@@ -19,17 +19,11 @@ import json
 import os
 from typing import Any, Dict, Iterable, Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import (
-    DiscriminatorConfig,
-    GeneratorConfig,
-    LossConfig,
-    TrainConfig,
-)
+from ..config import DiscriminatorConfig, GeneratorConfig, LossConfig
 from ..losses import load_vgg19_params
 from ..models import make_generator_plan
 from ..ops import asm
