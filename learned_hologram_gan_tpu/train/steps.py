@@ -10,9 +10,12 @@ Functional rebuild of the reference per-batch flow (watermelon.py:207-284):
   6. generator updated on the 5-term weighted loss (phase-gradient family,
      VGG perceptual, pixel MSE, TV, critic score)
 
-Everything happens inside ONE jitted function per step; the two generator
-forwards (one producing the critic's detached reconstructions, one inside
-the generator's grad) are identical subexpressions that XLA CSEs away.
+Everything happens inside ONE jitted function per step.  The generator
+forward runs exactly ONCE per step via ``jax.vjp``: its outputs feed the
+critic's detached reconstructions, and its vjp closure later pulls the
+generator-loss cotangents back through the same forward — no reliance on
+XLA CSE-ing two textual copies.  The critic's train-ratio inner loop is a
+``lax.scan``, so the compiled program size is independent of the ratio.
 Gradients and BatchNorm statistics become *global* automatically when the
 batch axis is sharded over a device mesh (GSPMD inserts the collectives) —
 the reference is single-GPU only.
@@ -162,25 +165,37 @@ def build_train_step(
     def train_step(state: TrainState, batch: Batch, gen_plan, multi_plan):
         key, dist_key, gp_keys_base = jax.random.split(state.key, 3)
 
-        # ---- steps 1-4 once, detached, for critic training + metrics ----
-        (hat_amps, target_amps, hat_phs, target_phs), bs_G_after = _reconstruct(
-            generator, state.params_G, state.batch_stats_G,
-            gen_plan, multi_plan, batch, dist_key,
+        # ---- steps 1-4 exactly once, via vjp (forward reused for both the
+        # critic's detached views and the generator's backward) ----
+        def recon_of_params(p_G):
+            (h_amps, t_amps, h_phs, t_phs), bs_G_new = _reconstruct(
+                generator, p_G, state.batch_stats_G,
+                gen_plan, multi_plan, batch, dist_key,
+            )
+            # target path does not depend on p_G; keep it out of the vjp
+            return (h_amps, h_phs), (t_amps, t_phs, bs_G_new)
+
+        (hat_amps, hat_phs), recon_vjp, (target_amps, target_phs, bs_G_new) = jax.vjp(
+            recon_of_params, state.params_G, has_aux=True
         )
         hat_amps_d = jax.lax.stop_gradient(hat_amps)
         target_amps_d = jax.lax.stop_gradient(target_amps)
 
-        # ---- step 5: critic updates x ratio (reference :244-261) ----
+        # ---- step 5: critic updates x ratio (reference :244-261), scanned
+        # so program size / compile time don't grow with the ratio ----
         params_D, bs_D, opt_D = state.params_D, state.batch_stats_D, state.opt_state_D
         d_loss_acc = jnp.float32(0.0)
         if use_gan and discriminator_train_ratio > 0:
             gp_keys = jax.random.split(gp_keys_base, discriminator_train_ratio)
-            for i in range(discriminator_train_ratio):
-                def d_loss_fn(p_D, bs_D_in):
-                    real_v, bs1 = _apply_d(discriminator, p_D, bs_D_in, target_amps_d)
-                    fake_v, bs2 = _apply_d(discriminator, p_D, bs1, hat_amps_d)
+
+            def d_step(carry, gp_key):
+                p_D, bs, opt = carry
+
+                def d_loss_fn(p, bs_in):
+                    real_v, bs1 = _apply_d(discriminator, p, bs_in, target_amps_d)
+                    fake_v, bs2 = _apply_d(discriminator, p, bs1, hat_amps_d)
                     gp = gradient_penalty(
-                        discriminator, p_D, bs2, target_amps_d, hat_amps_d, gp_keys[i]
+                        discriminator, p, bs2, target_amps_d, hat_amps_d, gp_key
                     )
                     loss = (
                         -jnp.mean(real_v)
@@ -189,29 +204,34 @@ def build_train_step(
                     )
                     return loss, bs2
 
-                (d_loss, bs_D), d_grads = jax.value_and_grad(
+                (d_loss, bs), d_grads = jax.value_and_grad(
                     d_loss_fn, has_aux=True
-                )(params_D, bs_D)
-                updates, opt_D = tx_D.update(d_grads, opt_D, params_D)
-                params_D = optax.apply_updates(params_D, updates)
-                d_loss_acc = d_loss_acc + d_loss / discriminator_train_ratio
+                )(p_D, bs)
+                updates, opt = tx_D.update(d_grads, opt, p_D)
+                p_D = optax.apply_updates(p_D, updates)
+                return (p_D, bs, opt), d_loss
 
-        # ---- step 6: generator update against the *updated* critic ----
-        def g_loss_fn(p_G):
-            (h_amps, t_amps, h_phs, t_phs), bs_G_new = _reconstruct(
-                generator, p_G, state.batch_stats_G,
-                gen_plan, multi_plan, batch, dist_key,
+            (params_D, bs_D, opt_D), d_losses = jax.lax.scan(
+                d_step, (params_D, bs_D, opt_D), gp_keys
             )
+            d_loss_acc = jnp.mean(d_losses)
+
+        # ---- step 6: generator update against the *updated* critic.
+        # grad w.r.t. the recon outputs, pulled back through the single
+        # generator forward's vjp ----
+        def g_loss_of_outputs(h_amps, h_phs):
             d_out, _ = _apply_d(discriminator, params_D, bs_D, h_amps)
             loss_from_d = -jnp.mean(d_out)
             loss, terms = _g_loss_terms(
-                loss_cfg, state.vgg_params, h_amps, t_amps, h_phs, t_phs, loss_from_d
+                loss_cfg, state.vgg_params, h_amps, target_amps_d,
+                h_phs, jax.lax.stop_gradient(target_phs), loss_from_d,
             )
-            return loss, (terms, bs_G_new)
+            return loss, terms
 
-        (_, (terms, bs_G_new)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.params_G
-        )
+        (_, terms), out_cotangents = jax.value_and_grad(
+            g_loss_of_outputs, argnums=(0, 1), has_aux=True
+        )(hat_amps, hat_phs)
+        (g_grads,) = recon_vjp(out_cotangents)
         updates_G, opt_G = tx_G.update(g_grads, state.opt_state_G, state.params_G)
         params_G = optax.apply_updates(state.params_G, updates_G)
 
