@@ -1,0 +1,105 @@
+"""Pallas four-step FFT (ops/pallas/spectral.py): parity, gradients, wiring.
+
+Runs in interpret mode on the CPU test mesh — same kernel code the TPU
+compiles (tiling differs only via _pick_tile, which is shape-driven).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from learned_hologram_gan_tpu.ops import asm
+from learned_hologram_gan_tpu.ops.pallas import spectral
+
+RNG = np.random.default_rng(11)
+
+
+def _rand_c64(shape):
+    return (RNG.random(shape) + 1j * RNG.random(shape)).astype(np.complex64)
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (2, 256, 128),   # power-of-two, aligned tiles
+        (1, 512, 512),
+        (3, 192, 384),   # non-square, 192 = 12*16
+        (1, 160, 96),    # small unaligned tiles
+    ],
+)
+def test_fft2_pallas_matches_numpy(shape):
+    x = _rand_c64(shape)
+    want = np.fft.fft2(x).astype(np.complex64)
+    got = np.asarray(spectral.fft2_pallas(jnp.asarray(x)))
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 5e-5
+
+    wanti = np.fft.ifft2(x).astype(np.complex64)
+    goti = np.asarray(spectral.ifft2_pallas(jnp.asarray(x)))
+    assert np.max(np.abs(goti - wanti)) / np.max(np.abs(wanti)) < 5e-5
+
+
+def test_fft2_pallas_roundtrip():
+    x = _rand_c64((2, 128, 256))
+    got = np.asarray(spectral.ifft2_pallas(spectral.fft2_pallas(jnp.asarray(x))))
+    np.testing.assert_allclose(got, x, atol=5e-5)
+
+
+def test_prime_shape_falls_back_to_jnp():
+    x = _rand_c64((1, 127, 127))  # prime axis: no factor pair
+    want = np.fft.fft2(x).astype(np.complex64)
+    got = np.asarray(spectral.fft2_pallas(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_gradients_match_jnp_fft():
+    """custom_vjp transpose rule (fft2^T == fft2): grads must equal the
+    built-in jnp.fft gradients on a real-valued loss."""
+    xr = jnp.asarray(RNG.random((1, 64, 128)).astype(np.float32))
+    xi = jnp.asarray(RNG.random((1, 64, 128)).astype(np.float32))
+    t = jnp.asarray(_rand_c64((1, 64, 128)))
+
+    def loss_pallas(xr, xi):
+        y = spectral.ifft2_pallas(spectral.fft2_pallas(jax.lax.complex(xr, xi)) * 2.0)
+        return jnp.sum(jnp.abs(y - t) ** 2)
+
+    def loss_ref(xr, xi):
+        y = jnp.fft.ifft2(jnp.fft.fft2(jax.lax.complex(xr, xi)) * 2.0)
+        return jnp.sum(jnp.abs(y - t) ** 2)
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1))(xr, xi)
+    g_r = jax.grad(loss_ref, argnums=(0, 1))(xr, xi)
+    for a, b in zip(g_p, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_precision_modes_agree():
+    x = jnp.asarray(_rand_c64((1, 256, 256)))
+    spectral.set_precision("highest")
+    try:
+        hi = np.asarray(spectral.fft2_pallas(x))
+    finally:
+        spectral.set_precision("split3")
+    lo = np.asarray(spectral.fft2_pallas(x))
+    assert np.max(np.abs(hi - lo)) / np.max(np.abs(hi)) < 2e-5
+
+
+def test_asm_backend_pallas_matches_xla():
+    """propagate() through backend='pallas' must match backend='xla'."""
+    from learned_hologram_gan_tpu.config import OpticsConfig
+
+    optics = OpticsConfig(rows=48, cols=48, pad_size=8,
+                          filter_radius_coefficient=0.45)
+    plan = asm.make_plan(optics, distances=[1e-3])
+    amp = jnp.asarray(RNG.random((2, 3, 48, 48)).astype(np.float32))
+    phs = jnp.asarray(RNG.random((2, 3, 48, 48)).astype(np.float32))
+
+    prev = asm.get_fft_backend()
+    try:
+        asm.set_fft_backend("xla")
+        want = np.asarray(asm.propagate(plan, amp, phs))
+        asm.set_fft_backend("pallas")
+        got = np.asarray(asm.propagate(plan, amp, phs))
+    finally:
+        asm.set_fft_backend(prev)
+    np.testing.assert_allclose(got, want, atol=2e-5)
