@@ -115,7 +115,8 @@ class LossConfig:
       - "plain"                  (watermelon_without_GAN_and_plain_phase_loss)
       - "focal_sincos"           (…_and_focal_sincos_phase_loss)
       - "sincos_gradient"        (…_and_phase_sincos_gradient_loss)
-    ``perceptual`` is "vgg19" or "none" (…_without_perceptual_loss).
+    ``perceptual`` is "vgg19" (pretrained weights required), "random" (the
+    explicit untrained-VGG opt-in) or "none" (…_without_perceptual_loss).
     """
 
     phs_gradient_loss_weight: float = 1.0

@@ -7,10 +7,12 @@ ImageNet normalization and the MSE-per-tap average.
 
 Weights: torchvision isn't available in this environment, so pretrained
 weights are loaded from an ``.npz`` produced by ``tools/convert_vgg19.py``
-(run it anywhere torchvision is installed, ship the file).  Without a weights
-file the loss falls back to a *fixed random* VGG19 (deterministic seed) —
-random-CNN perceptual distances are a known usable metric — and prints a
-warning once.
+(run it anywhere torchvision is installed, ship the file).  There is NO
+silent fallback: requesting ``vgg19`` without a weights file raises, and a
+*fixed random* VGG19 (deterministic seed; random-CNN perceptual distances
+are a known usable metric) is available only as the explicit opt-in
+``mode="random"``.  See docs/perceptual_fallback.md for the quantified
+effect of the random-VGG term.
 """
 
 from __future__ import annotations
@@ -75,32 +77,46 @@ def init_vgg19_params(seed: int = 0) -> Any:
     return module.init(jax.random.key(seed), dummy)["params"]
 
 
-def load_vgg19_params(path: Optional[str] = None) -> Tuple[Any, bool]:
-    """Load pretrained VGG19 conv params from ``.npz``; fall back to random.
+def load_vgg19_params(
+    path: Optional[str] = None, mode: str = "vgg19"
+) -> Tuple[Any, bool]:
+    """Load pretrained VGG19 conv params from ``.npz``.
 
-    Returns (params, pretrained_flag).  The npz layout is
-    ``conv_{i}_kernel`` (HWIO) / ``conv_{i}_bias`` for i in 0..13, as written
-    by ``tools/convert_vgg19.py``.
+    ``mode="vgg19"`` requires the weights file (raises ``FileNotFoundError``
+    otherwise — no silent quality degradation); ``mode="random"`` is the
+    explicit opt-in for the fixed random VGG19.  Returns
+    (params, pretrained_flag).  The npz layout is ``conv_{i}_kernel`` (HWIO) /
+    ``conv_{i}_bias`` for i in 0..13, as written by ``tools/convert_vgg19.py``.
     """
+    if mode == "random":
+        print(
+            "[learned_hologram_gan_tpu] NOTE: perceptual loss uses a FIXED "
+            "RANDOM VGG19 (explicit perceptual='random'). Training quality is "
+            "NOT comparable to the reference's pretrained-VGG objective; see "
+            "docs/perceptual_fallback.md for the measured effect."
+        )
+        return init_vgg19_params(), False
+    if mode != "vgg19":
+        raise ValueError(f"unknown perceptual mode {mode!r}")
     path = path or DEFAULT_WEIGHTS_PATH
-    if path is not None and os.path.exists(path):
-        raw = np.load(path)
-        params = {}
-        i = 0
-        while f"conv_{i}_kernel" in raw:
-            params[f"conv_{i}"] = {
-                "kernel": jnp.asarray(raw[f"conv_{i}_kernel"]),
-                "bias": jnp.asarray(raw[f"conv_{i}_bias"]),
-            }
-            i += 1
-        return freeze(params), True
-    print(
-        "[learned_hologram_gan_tpu] WARNING: no VGG19 weights at "
-        f"{path!r}; using a fixed random VGG19 for the perceptual loss. "
-        "Run tools/convert_vgg19.py where torchvision is available to "
-        "generate pretrained weights."
-    )
-    return init_vgg19_params(), False
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"perceptual='vgg19' needs pretrained weights, none at {path!r}. "
+            "Generate them with tools/convert_vgg19.py on a machine with "
+            "torchvision, or opt in to the untrained fallback explicitly "
+            "with perceptual='random' (CLI: --perceptual random), or disable "
+            "the term with perceptual='none'."
+        )
+    raw = np.load(path)
+    params = {}
+    i = 0
+    while f"conv_{i}_kernel" in raw:
+        params[f"conv_{i}"] = {
+            "kernel": jnp.asarray(raw[f"conv_{i}_kernel"]),
+            "bias": jnp.asarray(raw[f"conv_{i}_bias"]),
+        }
+        i += 1
+    return freeze(params), True
 
 
 def perceptual_loss(

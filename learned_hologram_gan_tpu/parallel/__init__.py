@@ -2,6 +2,8 @@
 
 from .mesh import (
     batch_sharding,
+    initialize_distributed,
+    make_hybrid_mesh,
     make_mesh,
     pad_batch_to_devices,
     replicate_state,
@@ -12,6 +14,8 @@ from .mesh import (
 
 __all__ = [
     "batch_sharding",
+    "initialize_distributed",
+    "make_hybrid_mesh",
     "make_mesh",
     "pad_batch_to_devices",
     "replicate_state",

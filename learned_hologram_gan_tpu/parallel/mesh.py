@@ -28,6 +28,73 @@ def make_mesh(
     return Mesh(np.array(devices), (axis_name,))
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host bring-up: ``jax.distributed.initialize`` when configured.
+
+    Call once at program start on every host of a multi-host TPU pod slice
+    (or pass nothing under a supported launcher — GKE/Cloud TPU environments
+    auto-detect via their metadata, and JAX reads ``COORDINATOR_ADDRESS`` /
+    ``NUM_PROCESSES`` / ``PROCESS_ID`` env vars).  After it returns,
+    ``jax.devices()`` spans the whole pod and the GSPMD train step scales
+    across hosts unchanged — DCN only ever carries the gradient all-reduce
+    for mesh axes laid out across slices (see :func:`make_hybrid_mesh`).
+
+    Returns True if distributed mode was initialized, False when running
+    single-process (no coordinator configured) — the single-host fallback.
+    """
+    import os
+
+    configured = (
+        coordinator_address is not None
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    )
+    if not configured and (num_processes is None or num_processes <= 1):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def make_hybrid_mesh(
+    num_slices: int = 1,
+    ici_axis: str = "data",
+    dcn_axis: str = "replica",
+) -> Mesh:
+    """2-D (DCN x ICI) mesh for multi-slice / multi-host data parallelism.
+
+    Within a slice the batch shards over ``ici_axis`` (fast ICI collectives);
+    across slices it shards over ``dcn_axis`` whose all-reduce rides DCN.
+    Shard batches with ``P((dcn_axis, ici_axis))`` so both axes split the
+    batch.  With ``num_slices == 1`` this degrades to the flat single-slice
+    mesh (still 2-D, leading axis 1) so caller code is uniform.
+    """
+    n = jax.device_count()
+    if n % num_slices != 0:
+        raise ValueError(f"{n} devices not divisible into {num_slices} slices")
+    per_slice = n // num_slices
+    if num_slices > 1:
+        from jax.experimental import mesh_utils
+
+        try:
+            devices = mesh_utils.create_hybrid_device_mesh(
+                (per_slice,), (num_slices,)
+            )
+            return Mesh(devices, (dcn_axis, ici_axis))
+        except (ValueError, AssertionError):
+            # no real multi-slice topology (e.g. CPU test mesh): fall through
+            pass
+    devices = np.array(jax.devices()).reshape(num_slices, per_slice)
+    return Mesh(devices, (dcn_axis, ici_axis))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) axis of every array in a batch pytree."""
     return NamedSharding(mesh, P(axis_name))

@@ -132,3 +132,20 @@ def restore_latest(directory: str, template: TrainState) -> Optional[TrainState]
     if path is None:
         return None
     return restore_train_state(path, template)
+
+
+def prune_checkpoints(directory: str, keep: int = 3) -> None:
+    """Retention: delete all but the ``keep`` newest ``step_*`` checkpoints."""
+    import shutil
+
+    if not os.path.isdir(directory):
+        return
+    steps = []
+    for name in os.listdir(directory):
+        if name.startswith("step_"):
+            try:
+                steps.append((int(name.split("_", 1)[1]), name))
+            except ValueError:
+                continue
+    for _, name in sorted(steps)[:-keep]:
+        shutil.rmtree(os.path.join(directory, name), ignore_errors=True)

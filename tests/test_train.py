@@ -156,9 +156,9 @@ def test_determinism_same_seed_same_step():
 
 
 def test_gan_training_with_vgg_perceptual_path():
-    """The perceptual='vgg19' branch must run inside the jitted step
-    (random-weight fallback; 5 taps down to 1x1 at 16x16 input)."""
-    trainer = tiny_trainer(use_gan=False, perceptual="vgg19")
+    """The VGG perceptual branch must run inside the jitted step
+    (explicit random-weight opt-in; 5 taps down to 1x1 at 16x16 input)."""
+    trainer = tiny_trainer(use_gan=False, perceptual="random")
     batch = synthetic_batches(1)[0]
     hist = trainer.train(
         data_loader_train=lambda: iter([batch]),
@@ -167,3 +167,76 @@ def test_gan_training_with_vgg_perceptual_path():
     )
     p = hist["train_losses_tensor"]["perceptual_loss"][0]
     assert np.isfinite(p) and p > 0.0
+
+
+def test_vgg19_without_weights_is_a_loud_error():
+    """perceptual='vgg19' with no converted weights must raise, not silently
+    train against a random VGG (round-1 verdict item #6)."""
+    with pytest.raises(FileNotFoundError, match="random"):
+        tiny_trainer(use_gan=False, perceptual="vgg19")
+
+
+def test_resume_kill_restart(tmp_path):
+    """Kill-and-restart with resume_dir must be bitwise-equal to an
+    uninterrupted run: full state (params, opt states, RNG key, step) is
+    checkpointed and the deterministic loaders fast-forward on resume."""
+    batches = synthetic_batches(4)
+
+    def make_loader():
+        # 2 batches per epoch, deterministic across runs, keyed off a counter
+        state = {"epoch": 0}
+
+        def loader():
+            e = state["epoch"] % 2
+            state["epoch"] += 1
+            return iter(batches[2 * e : 2 * e + 2])
+
+        return loader
+
+    common = dict(
+        data_loader_val=lambda: iter(batches[:1]),
+        info_print_interval=100, checkpoint_iterval=1,
+        discriminator_train_ratio=1, seed=7,
+    )
+
+    # uninterrupted 2-epoch run
+    t_full = tiny_trainer()
+    t_full.train(data_loader_train=make_loader(), epoch_num=2, **common)
+
+    # run 1: train 1 epoch, checkpointing full state into resume_dir
+    resume_dir = str(tmp_path / "resume")
+    t1 = tiny_trainer()
+    t1.train(data_loader_train=make_loader(), epoch_num=1,
+             resume_dir=resume_dir, **common)
+    assert ckpt_lib.latest_step_dir(resume_dir) is not None
+
+    # run 2 ("restart"): fresh trainer, same resume_dir, full 2-epoch target
+    t2 = tiny_trainer()
+    t2.train(data_loader_train=make_loader(), epoch_num=2,
+             resume_dir=resume_dir, **common)
+
+    assert int(t2.state.step) == int(t_full.state.step)
+    for a, b in zip(jax.tree.leaves(t_full.state.params_G),
+                    jax.tree.leaves(t2.state.params_G)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(t_full.state.opt_state_G),
+                    jax.tree.leaves(t2.state.opt_state_G)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(t_full.state.key)),
+        np.asarray(jax.random.key_data(t2.state.key)),
+    )
+
+
+def test_validation_pads_ragged_batches_one_compile(tmp_path):
+    """A short final val batch must not retrigger compilation: it is padded
+    up to the first-seen batch size (round-1 verdict item #10)."""
+    trainer = tiny_trainer(use_gan=False)
+    ragged_val = [synthetic_batches(1, batch=2)[0], synthetic_batches(1, batch=1)[0]]
+    trainer.train(
+        data_loader_train=lambda: iter(synthetic_batches(1)),
+        data_loader_val=lambda: iter(ragged_val),
+        epoch_num=1, info_print_interval=1, checkpoint_iterval=10,
+    )
+    # the jitted eval step saw exactly one (shape, dtype) signature
+    assert trainer._eval_cache_size == 1

@@ -111,6 +111,7 @@ def train_gan(args):
         step_scheduler_D_gamma=0.9999,
         visualization_RGBD_AP=dataset_validate[0],
         seed=seed,
+        resume_dir=args.resume_dir,
     )
 
 
@@ -150,8 +151,11 @@ if __name__ == "__main__":
     # TPU options (extensions beyond the reference CLI)
     parser.add_argument('--use_gan', action='store_true',
                         help="Train the full WGAN-GP variant (reference default is without GAN).")
-    parser.add_argument('--perceptual', type=str, default='vgg19', choices=['vgg19', 'none'],
-                        help="Perceptual loss backend.")
+    parser.add_argument('--perceptual', type=str, default='vgg19',
+                        choices=['vgg19', 'random', 'none'],
+                        help="Perceptual loss backend. 'vgg19' needs converted weights "
+                             "(tools/convert_vgg19.py); 'random' is the explicit "
+                             "untrained-VGG opt-in; 'none' disables the term.")
     parser.add_argument('--perceptual_weights', type=str, default=None,
                         help="Path to VGG19 weights npz (see tools/convert_vgg19.py).")
     parser.add_argument('--dtype', type=str, default='float32', choices=['float32', 'bfloat16'],
@@ -160,5 +164,8 @@ if __name__ == "__main__":
                         help="Data-parallel over this many devices (0 = single device).")
     parser.add_argument('--unet_base_features', type=int, default=64,
                         help="UNet width multiplier (reference architecture = 64).")
+    parser.add_argument('--resume_dir', type=str, default=None,
+                        help="Directory for full-train-state checkpoints; restarting "
+                             "with the same value resumes from the latest one.")
 
     train_gan(parser.parse_args())
