@@ -40,7 +40,7 @@ def main():
         cfg.optics(), distances=np.linspace(4e-4, 10e-4, 3)
     )
 
-    batch = 8
+    batch = 16
     rgbd = jnp.asarray(
         np.random.default_rng(0).random((batch, 4, 384, 384)).astype(np.float32)
     )

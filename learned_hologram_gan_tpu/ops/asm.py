@@ -276,6 +276,74 @@ def _ifft2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Fused Pallas propagation (ops/pallas/spectral.propagate_planes): the whole
+# fft2 -> H*mask -> ifft2 chain in 3 HBM passes with H computed on the fly —
+# no cached H stack, no separate elementwise pass.  Differentiable (custom
+# VJP via the DFT transpose).  Used by the propagation primitives below
+# whenever the backend resolves to pallas and the padded grid is supported.
+# ---------------------------------------------------------------------------
+
+
+def _fused_ok(plan: PropagatorPlan) -> bool:
+    if _resolved_backend() != "pallas":
+        return False
+    from .pallas import spectral
+
+    return spectral.supported(plan.padded_rows, plan.padded_cols)
+
+
+def _fused_apply(
+    plan: PropagatorPlan,
+    g: jnp.ndarray,
+    distances: jnp.ndarray,
+    *,
+    conj_h: bool = False,
+    from_spectrum: bool = False,
+    per_plane: bool = False,
+    use_mask: bool = True,
+) -> jnp.ndarray:
+    """Run the fused pipeline on (B, C, ...) complex planes.
+
+    Full mode takes the UNPADDED (B, C, rows, cols) field — zero padding is
+    never materialized (the pipeline's DFT matrices are pad-restricted);
+    ``from_spectrum`` takes the full (B, C, Rp, Cp) spectrum.  Returns
+    (B, D, C, rows, cols) complex spatial fields, ALREADY CROPPED to the
+    plan's central window (D=1 when per_plane, whose distances are
+    per-sample).  The caller takes abs / angle.
+    """
+    from .pallas import spectral
+
+    b, cch = g.shape[0], g.shape[1]
+    rp, cp = plan.padded_rows, plan.padded_cols
+    fr = jnp.real(g).astype(jnp.float32).reshape(b * cch, *g.shape[-2:])
+    fi = jnp.imag(g).astype(jnp.float32).reshape(b * cch, *g.shape[-2:])
+    # identical f32 rounding to _w_grid's inv_wl_sq
+    wl2_np = (
+        1.0 / np.asarray(plan.wavelengths, dtype=np.float32) ** 2
+    ).astype(np.float32)
+    wl2 = jnp.asarray(np.tile(wl2_np, b)[:, None])
+    if per_plane:
+        dvec = jnp.repeat(
+            jnp.asarray(distances, jnp.float32).reshape(-1), cch
+        )[:, None]
+        num_d = 1
+    else:
+        dvec = jnp.asarray(distances, jnp.float32).reshape(-1, 1)
+        num_d = int(dvec.shape[0])
+    mask = plan.mask if use_mask else None
+    crop = (plan.pad_rows, plan.rows, plan.pad_cols, plan.cols)
+    cfg = (
+        float(plan.pixel_pitch), bool(conj_h), bool(from_spectrum),
+        bool(per_plane), num_d, rp, cp, crop,
+    )
+    outr, outi = spectral.propagate_planes(fr, fi, wl2, dvec, mask, cfg)
+    rows, cols = plan.rows, plan.cols
+    outr = outr.reshape(b, cch, num_d, rows, cols).transpose(0, 2, 1, 3, 4)
+    outi = outi.reshape(b, cch, num_d, rows, cols).transpose(0, 2, 1, 3, 4)
+    return jax.lax.complex(outr, outi)
+
+
+# ---------------------------------------------------------------------------
 # Base propagation primitives (reference base class :68-139)
 # ---------------------------------------------------------------------------
 
@@ -293,7 +361,22 @@ def propagate(
     dim 1 or D broadcasts against H of leading dim D).  For simultaneous
     batch x distance use :func:`propagate_batch_multi`.
     """
-    h = _h_stack(plan) if distances is None else transfer_function(plan, distances)
+    use_plan_stack = distances is None
+    if use_plan_stack:
+        if plan.distances is None:
+            raise ValueError("plan has no distance stack and none was passed")
+        distances = plan.distances
+    distances = jnp.atleast_1d(jnp.asarray(distances, dtype=jnp.float32))
+    if _fused_ok(plan):
+        g = field(amp, phs)
+        if g.ndim == 4:
+            b, d = g.shape[0], distances.shape[0]
+            if b == 1:
+                return jnp.abs(_fused_apply(plan, g, distances)[0])
+            if d == 1 or d == b:
+                z = jnp.broadcast_to(distances, (b,))
+                return jnp.abs(_fused_apply(plan, g, z, per_plane=True)[:, 0])
+    h = _h_stack(plan) if use_plan_stack else transfer_function(plan, distances)
     g0 = _fft2(pad(plan, field(amp, phs)))
     gz = g0 * (h * plan.mask)
     return jnp.abs(crop(plan, _ifft2(gz)))
@@ -305,10 +388,7 @@ def propagate_p2i(
     distances: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Phase-only -> intensity |field|^2 (reference propagate_P2I :131-139)."""
-    h = _h_stack(plan) if distances is None else transfer_function(plan, distances)
-    g0 = _fft2(pad(plan, field(jnp.ones_like(phs), phs)))
-    gz = g0 * (h * plan.mask)
-    return jnp.abs(crop(plan, _ifft2(gz))) ** 2
+    return propagate(plan, jnp.ones_like(phs), phs, distances) ** 2
 
 
 def propagate_ap2ap(
@@ -368,6 +448,12 @@ def propagate_ap2c_backward(
 
     Reference propagate_AP2C_backward (:374-384): G_z / H == G_z * conj(H).
     """
+    if _fused_ok(plan) and plan.distances is not None:
+        g = field(amp_z, phs_z)
+        out = _fused_apply(
+            plan, g, plan.distances[:1], conj_h=True, use_mask=False
+        )
+        return out[:, 0]
     gz = _fft2(pad(plan, field(amp_z, phs_z)))
     g0 = crop(plan, _ifft2(gz * jnp.conj(_fixed_h(plan))))
     return g0
@@ -386,6 +472,10 @@ def propagate_poh2ap_forward(
     plan: PropagatorPlan, poh: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """POH -> (amp, phase) at the fixed distance (reference :414-424)."""
+    if _fused_ok(plan) and plan.distances is not None:
+        g = field(jnp.ones_like(poh), poh)
+        gz = _fused_apply(plan, g, plan.distances[:1])[:, 0]
+        return jnp.abs(gz), _angle(gz)
     g0 = _fft2(pad(plan, field(jnp.ones_like(poh), poh)))
     gz = crop(plan, _ifft2(g0 * (_fixed_h(plan) * plan.mask)))
     return jnp.abs(gz), _angle(gz)
@@ -455,6 +545,11 @@ def propagate_batch_multi(
             raise ValueError("plan has no distance stack and none was passed")
         distances = plan.distances
     distances = jnp.atleast_1d(jnp.asarray(distances, dtype=jnp.float32))
+    if _fused_ok(plan) and not sequential:
+        g = field(amp, phs)
+        out = jnp.abs(_fused_apply(plan, g, distances))
+        b, d = out.shape[0], out.shape[1]
+        return out.reshape(b * d, *out.shape[2:])
     g0 = _fft2(pad(plan, field(amp, phs)))  # (B, C, Rp, Cp)
     b, d = g0.shape[0], distances.shape[0]
 
@@ -496,6 +591,11 @@ def freq2ap_all_distances(
     g0: (B, C, Rp, Cp) -> returns ((B*D, C, rows, cols) amp, same-shape phase),
     distance-major within each sample: row b*D + d is sample b at distance d.
     """
+    if _fused_ok(plan) and plan.distances is not None:
+        out = _fused_apply(plan, g0, plan.distances, from_spectrum=True)
+        b, d = out.shape[0], out.shape[1]
+        gz = out.reshape(b * d, *out.shape[2:])
+        return jnp.abs(gz), _angle(gz)
     gz = g0[:, None] * (_h_stack(plan) * plan.mask)[None]  # (B, D, C, Rp, Cp)
     b, d = gz.shape[0], gz.shape[1]
     gz = crop(plan, _ifft2(gz.reshape(b * d, *gz.shape[2:])))
@@ -522,6 +622,14 @@ def freq2ap_random_distances(
             "replacement, matching the reference's randperm (:536)."
         )
     idx = jax.random.permutation(key, num_d)[:b]
+    if _fused_ok(plan):
+        z = plan.distances[idx]  # (B,) — same draw for hat[i] and target[i]
+        out = _fused_apply(
+            plan, g0, jnp.concatenate([z, z]), from_spectrum=True,
+            per_plane=True,
+        )
+        gz = out[:, 0]
+        return jnp.abs(gz), _angle(gz)
     if plan.H is not None:
         h = (plan.H * plan.mask)[idx]  # (B, C, Rp, Cp)
     else:

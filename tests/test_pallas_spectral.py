@@ -103,3 +103,69 @@ def test_asm_backend_pallas_matches_xla():
     finally:
         asm.set_fft_backend(prev)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused propagation path (spectral.propagate_planes via asm._fused_apply)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_plan():
+    from learned_hologram_gan_tpu.config import OpticsConfig
+
+    optics = OpticsConfig(rows=24, cols=32, pad_size=4,
+                          filter_radius_coefficient=0.45)
+    return asm.make_plan(optics, distances=np.linspace(-4e-4, 0.0, 5)[:-1])
+
+
+def _on_backend(backend, fn):
+    prev = asm.get_fft_backend()
+    try:
+        asm.set_fft_backend(backend)
+        return fn()
+    finally:
+        asm.set_fft_backend(prev)
+
+
+@pytest.mark.parametrize("prim", ["batch_multi", "ap2c", "freq2ap_all",
+                                  "freq2ap_random", "poh2ap", "propagate_b1"])
+def test_fused_matches_composable(prim):
+    """Every fused primitive must match the composable XLA path (values)."""
+    plan = _tiny_plan()
+    rp, cp = plan.padded_rows, plan.padded_cols
+    rng = np.random.default_rng(5)
+    amp = jnp.asarray(rng.random((2, 3, 24, 32)).astype(np.float32))
+    phs = jnp.asarray(rng.random((2, 3, 24, 32)).astype(np.float32))
+    g0 = jnp.asarray((rng.random((4, 3, rp, cp))
+                      + 1j * rng.random((4, 3, rp, cp))).astype(np.complex64))
+    key = jax.random.key(3)
+
+    fns = {
+        "batch_multi": lambda: asm.propagate_batch_multi(plan, amp, phs),
+        "ap2c": lambda: jnp.abs(asm.propagate_ap2c_backward(plan, amp, phs)),
+        "freq2ap_all": lambda: asm.freq2ap_all_distances(plan, g0[:2])[0],
+        "freq2ap_random": lambda: asm.freq2ap_random_distances(plan, g0, key)[0],
+        "poh2ap": lambda: asm.propagate_poh2ap_forward(plan, phs)[0],
+        "propagate_b1": lambda: asm.propagate(plan, amp[:1], phs[:1]),
+    }
+    want = np.asarray(_on_backend("xla", fns[prim]))
+    got = np.asarray(_on_backend("pallas", fns[prim]))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_fused_gradients_match_composable():
+    """The custom-VJP (conjugate-transposed pipeline with crop->embed) must
+    reproduce the composable path's gradients."""
+    plan = _tiny_plan()
+    rng = np.random.default_rng(5)
+    amp = jnp.asarray(rng.random((2, 3, 24, 32)).astype(np.float32))
+    phs = jnp.asarray(rng.random((2, 3, 24, 32)).astype(np.float32))
+
+    def loss(a):
+        recon = asm.propagate_batch_multi(plan, a, phs)
+        c = asm.propagate_ap2c_backward(plan, a, phs)
+        return jnp.sum(recon ** 2) + jnp.sum(jnp.abs(c) ** 2)
+
+    gw = np.asarray(_on_backend("xla", lambda: jax.grad(loss)(amp)))
+    gg = np.asarray(_on_backend("pallas", lambda: jax.grad(loss)(amp)))
+    np.testing.assert_allclose(gg, gw, rtol=2e-4, atol=2e-4)
