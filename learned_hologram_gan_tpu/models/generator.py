@@ -173,7 +173,11 @@ class Generator(nn.Module):
         return self.part2(plan, amp, phs)
 
 
-def make_generator_plan(config: GeneratorConfig) -> asm.PropagatorPlan:
+def make_generator_plan(
+    config: GeneratorConfig, cache_h: bool = True
+) -> asm.PropagatorPlan:
     """The fixed-distance plan a Generator propagates through (reference
     AP2POH.py:51-62: same optics, single distance, default 1 mm)."""
-    return asm.make_plan(config.optics(), distances=[config.distance])
+    return asm.make_plan(
+        config.optics(), distances=[config.distance], cache_h=cache_h
+    )

@@ -289,7 +289,14 @@ def _fused_ok(plan: PropagatorPlan) -> bool:
         return False
     from .pallas import spectral
 
-    return spectral.supported(plan.padded_rows, plan.padded_cols)
+    if not spectral.supported(plan.padded_rows, plan.padded_cols):
+        return False
+    # The middle kernel keeps two direct-DFT weight sets (6 bf16 arrays of
+    # (rp x rows) each) resident in VMEM; beyond ~1024^2-class grids they
+    # no longer fit the ~16 MB scoped VMEM — fall back to the composable
+    # path (which high-res configs pair with cache_h=False + sequential).
+    w_bytes = 12 * plan.padded_rows * plan.rows * 2
+    return w_bytes <= 10 * 1024 * 1024
 
 
 def _fused_apply(

@@ -89,13 +89,28 @@ def _pick_tile(n: int, other: int = 1024) -> Optional[int]:
 
 
 def supported(rows: int, cols: int) -> bool:
-    """True if the Pallas path can transform a (rows, cols) grid."""
-    return (
-        best_factor_pair(rows) is not None
-        and best_factor_pair(cols) is not None
-        and _pick_tile(cols, other=rows) is not None
-        and _pick_tile(rows, other=cols) is not None
-    )
+    """True if the Pallas path can transform a (rows, cols) grid.
+
+    On a real TPU, Mosaic's vector-layout inference rejects some in-kernel
+    reshapes/transposes on non-lane-aligned shapes ("unsupported shape
+    cast"), so compiled mode additionally requires 128-aligned tiles and
+    8-aligned GEMM factors; odd grids fall back to jnp.fft.  Interpret mode
+    (CPU tests) exercises any factorizable shape.
+    """
+    tc = _pick_tile(cols, other=rows)
+    tr = _pick_tile(rows, other=cols)
+    if (best_factor_pair(rows) is None or best_factor_pair(cols) is None
+            or tc is None or tr is None):
+        return False
+    if _interpret():
+        return True
+    if tc % 128 or tr % 128:
+        return False
+    for n in (rows, cols):
+        n1, _, _ = _choose_factors(n)
+        if n1 % 8:
+            return False
+    return True
 
 
 def _choose_factors(n: int) -> Tuple[int, int, bool]:

@@ -96,13 +96,16 @@ def gradient_penalty(
     real: jnp.ndarray,
     fake: jnp.ndarray,
     key: jax.Array,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """WGAN-GP penalty ((||grad_x D(x_interp)||_2 - 1)^2).mean().
 
     Reference compute_gradient_penalty (watermelon.py:458-477).  The critic
     runs with its current BatchNorm statistics (non-mutable) inside the
     inner grad; the reference also updates BN running stats on this forward —
-    a momentum-only difference, documented deviation.
+    a momentum-only difference, documented deviation.  ``remat`` recomputes
+    the critic forward inside the double backward instead of storing its
+    activations (high-res memory lever).
     """
     alpha = jax.random.uniform(key, (real.shape[0], 1, 1, 1))
     interp = alpha * real + (1.0 - alpha) * fake
@@ -111,6 +114,8 @@ def gradient_penalty(
         out, _ = _apply_d(discriminator, params_D, batch_stats_D, x, train=True)
         return jnp.sum(out)
 
+    if remat:
+        critic_sum = jax.checkpoint(critic_sum)
     grads = jax.grad(critic_sum)(interp)
     norms = jnp.sqrt(jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, axis=1) + 1e-12)
     return jnp.mean((norms - 1.0) ** 2)
@@ -159,8 +164,14 @@ def build_train_step(
     use_gan: bool,
     discriminator_train_ratio: int,
     discriminator_lambda: float,
+    remat: bool = False,
 ) -> Callable[[TrainState, Batch, asm.PropagatorPlan, asm.PropagatorPlan], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
-    """Build the jitted (state, batch, gen_plan, multi_plan) -> (state, metrics) step."""
+    """Build the jitted (state, batch, gen_plan, multi_plan) -> (state, metrics) step.
+
+    ``remat=True`` checkpoints the generator+reconstruction forward: its
+    padded spectral intermediates (the dominant residuals at 1080p/4K) are
+    recomputed during the backward pass instead of being stored.
+    """
 
     def train_step(state: TrainState, batch: Batch, gen_plan, multi_plan):
         key, dist_key, gp_keys_base = jax.random.split(state.key, 3)
@@ -175,8 +186,9 @@ def build_train_step(
             # target path does not depend on p_G; keep it out of the vjp
             return (h_amps, h_phs), (t_amps, t_phs, bs_G_new)
 
+        recon_fn = jax.checkpoint(recon_of_params) if remat else recon_of_params
         (hat_amps, hat_phs), recon_vjp, (target_amps, target_phs, bs_G_new) = jax.vjp(
-            recon_of_params, state.params_G, has_aux=True
+            recon_fn, state.params_G, has_aux=True
         )
         hat_amps_d = jax.lax.stop_gradient(hat_amps)
         target_amps_d = jax.lax.stop_gradient(target_amps)
@@ -192,10 +204,19 @@ def build_train_step(
                 p_D, bs, opt = carry
 
                 def d_loss_fn(p, bs_in):
-                    real_v, bs1 = _apply_d(discriminator, p, bs_in, target_amps_d)
-                    fake_v, bs2 = _apply_d(discriminator, p, bs1, hat_amps_d)
+                    apply_d = (
+                        jax.checkpoint(
+                            functools.partial(_apply_d, discriminator),
+                            static_argnums=(),
+                        )
+                        if remat
+                        else functools.partial(_apply_d, discriminator)
+                    )
+                    real_v, bs1 = apply_d(p, bs_in, target_amps_d)
+                    fake_v, bs2 = apply_d(p, bs1, hat_amps_d)
                     gp = gradient_penalty(
-                        discriminator, p, bs2, target_amps_d, hat_amps_d, gp_key
+                        discriminator, p, bs2, target_amps_d, hat_amps_d,
+                        gp_key, remat=remat,
                     )
                     loss = (
                         -jnp.mean(real_v)
@@ -220,7 +241,12 @@ def build_train_step(
         # grad w.r.t. the recon outputs, pulled back through the single
         # generator forward's vjp ----
         def g_loss_of_outputs(h_amps, h_phs):
-            d_out, _ = _apply_d(discriminator, params_D, bs_D, h_amps)
+            apply_d = (
+                jax.checkpoint(functools.partial(_apply_d, discriminator))
+                if remat
+                else functools.partial(_apply_d, discriminator)
+            )
+            d_out, _ = apply_d(params_D, bs_D, h_amps)
             loss_from_d = -jnp.mean(d_out)
             loss, terms = _g_loss_terms(
                 loss_cfg, state.vgg_params, h_amps, target_amps_d,

@@ -70,7 +70,12 @@ class Watermelon:
         dtype: str = "float32",
         unet_base_features: int = 64,
         feature_d: int = 32,
+        remat: bool = False,
+        cache_h: bool = True,
     ):
+        # remat + cache_h=False are the single-chip high-resolution levers:
+        # activation checkpointing through the UNet, and no cached transfer-
+        # function stack in HBM (H computed on the fly / in the fused kernel)
         rows, cols = input_shape[-2], input_shape[-1]
         if distance_stack is None:
             distance_stack = default_distance_stack()
@@ -88,6 +93,7 @@ class Watermelon:
             use_modulation=use_modulation,
             dtype=dtype,
             unet_base_features=unet_base_features,
+            remat=remat,
         )
         self.disc_config = DiscriminatorConfig(feature_d=feature_d, dtype=dtype)
         self.use_gan = use_gan
@@ -98,9 +104,10 @@ class Watermelon:
         )
 
         # plans: fixed 1mm for the generator, distance stack for recon losses
-        self.gen_plan = make_generator_plan(self.gen_config)
+        self.gen_plan = make_generator_plan(self.gen_config, cache_h=cache_h)
         self.multi_plan = asm.make_plan(
-            self.gen_config.optics(), distances=self.distance_stack
+            self.gen_config.optics(), distances=self.distance_stack,
+            cache_h=cache_h,
         )
 
         self.generator, self.discriminator = build_modules(
@@ -212,6 +219,7 @@ class Watermelon:
         train_step = build_train_step(
             self.generator, self.discriminator, self.tx_G, self.tx_D,
             loss_cfg, self.use_gan, discriminator_train_ratio, discriminator_lambda,
+            remat=self.gen_config.remat,
         )
         eval_step = build_eval_step(self.generator, self.discriminator, loss_cfg)
 

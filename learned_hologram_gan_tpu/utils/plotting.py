@@ -99,3 +99,71 @@ def training_process_visualizer(
     plt.savefig(output_file)
     plt.close()
     return output_file
+
+
+def multi_channel_plotter(
+    tensor,
+    title: Optional[str] = None,
+    save_dir: Optional[str] = None,
+    rgb_img: bool = True,
+    color: int = 0,  # r = 0, g = 1, b = 2
+) -> Optional[str]:
+    """Plot/save a 2-D (single-channel) or 3-D (RGB) field image.
+
+    Equivalent of reference ``utilities.multi_channel_plotter``
+    (utilities.py:87-176), headless-adapted: the reference ``plt.show()``
+    branches render per-channel subplot figures interactively; here every
+    branch produces a PNG when ``save_dir`` is given (2-D saves a gray
+    ``{title}_{color}.png``; 3-D with ``rgb_img`` saves the RGB composite
+    plus a 1x4 per-channel panel figure), and returns the saved path.
+    Leading singleton dims are squeezed, like the reference.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    arr = np.squeeze(np.asarray(tensor))
+    if arr.ndim >= 4 or arr.ndim <= 1:
+        raise ValueError(
+            f"Only 2-D and 3-D tensors are supported. The input tensor is "
+            f"{arr.ndim}-D."
+        )
+    if title is None:
+        title = "title_not_provided"
+    if save_dir is None:
+        return None
+    _ensure_dir(save_dir)
+
+    if arr.ndim == 2:
+        fig = plt.figure()
+        plt.imshow(np.clip(arr, 0.0, 1.0), cmap="gray")
+        plt.axis("off")
+        plt.title(title)
+        color_name = ["red", "green", "blue"][color]
+        path = os.path.join(save_dir, f"{title}_{color_name}.png")
+        fig.savefig(path)
+        plt.close(fig)
+        return path
+
+    if arr.shape[0] != 3:
+        raise ValueError(
+            "The input tensor should have 3 channels to represent RGB. "
+            f"The input tensor has {arr.shape[0]} channels."
+        )
+    n = 4 if rgb_img else 3
+    fig, axs = plt.subplots(1, n, figsize=(7.5 * n, 15))
+    if rgb_img:
+        axs[3].imshow(np.clip(np.transpose(arr, (1, 2, 0)), 0.0, 1.0))
+        axs[3].axis("off")
+        axs[3].set_title(title)
+    for i in range(3):
+        rgb = np.zeros((3, arr.shape[-2], arr.shape[-1]), dtype=np.float32)
+        rgb[i] = arr[i]
+        axs[i].imshow(np.clip(np.transpose(rgb, (1, 2, 0)), 0.0, 1.0))
+        axs[i].axis("off")
+        axs[i].set_title(title)
+    path = os.path.join(save_dir, f"{title}.png")
+    fig.savefig(path)
+    plt.close(fig)
+    return path

@@ -97,3 +97,35 @@ def test_good_fft_pads_are_smooth_and_sufficient():
 
     o = OC(rows=2176, cols=3840, pad_size=pr, pad_cols_override=pc)
     assert o.padded_rows == 2176 + 2 * pr and o.padded_cols == 3840 + 2 * pc
+
+
+def test_watermelon_highres_levers_wiring():
+    """remat + cache_h=False must flow from the trainer constructor into the
+    generator config and both plans, and one GAN step must run (the CPU-
+    scale stand-in for the 1080p single-chip demo in
+    tools/highres_train_bench.py / BASELINE.md)."""
+    import jax.numpy as jnp
+
+    from learned_hologram_gan_tpu.config import LossConfig
+    from learned_hologram_gan_tpu.train import Watermelon, build_train_step
+
+    trainer = Watermelon(
+        filter_radius_coefficient=0.45, pad_size=4,
+        distance_stack=np.linspace(-4e-4, 0.0, 5)[:-1],
+        input_shape=(2, 4, 16, 16), use_gan=True, perceptual="none",
+        unet_base_features=2, feature_d=2, remat=True, cache_h=False,
+    )
+    assert trainer.gen_config.remat is True
+    assert trainer.gen_plan.H is None and trainer.multi_plan.H is None
+
+    trainer._init_state(seed=0, lr_G=1e-3, lr_D=1e-3)
+    step = build_train_step(
+        trainer.generator, trainer.discriminator, trainer.tx_G, trainer.tx_D,
+        LossConfig(perceptual="none"), use_gan=True,
+        discriminator_train_ratio=1, discriminator_lambda=10.0,
+    )
+    rng = np.random.default_rng(0)
+    batch = tuple(jnp.asarray(rng.random((2, c, 16, 16)).astype(np.float32))
+                  for c in (4, 3, 3))
+    _, metrics = step(trainer.state, batch, trainer.gen_plan, trainer.multi_plan)
+    assert np.isfinite(float(metrics["G_loss"]))

@@ -5,6 +5,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from PIL import Image
 
 from learned_hologram_gan_tpu.utils import (
@@ -92,3 +93,22 @@ def test_save_rgb_image_and_visualizer(tmp_path):
     )
     assert os.path.exists(out)
     assert extract_nested_value(hist, ["train_losses_tensor", "G_loss"]) == [3.0, 2.0, 1.0]
+
+
+def test_multi_channel_plotter(tmp_path):
+    """Reference utilities.multi_channel_plotter parity (utilities.py:87-176):
+    2-D gray save, 3-D RGB composite + per-channel panel, dim validation."""
+    from learned_hologram_gan_tpu.utils.plotting import multi_channel_plotter
+
+    rng = np.random.default_rng(0)
+    p = multi_channel_plotter(rng.random((8, 8)), title="t2", save_dir=str(tmp_path))
+    assert p.endswith("t2_red.png") and os.path.exists(p)
+    p = multi_channel_plotter(
+        rng.random((1, 3, 8, 8)), title="t3", save_dir=str(tmp_path)
+    )
+    assert p.endswith("t3.png") and os.path.exists(p)
+    assert multi_channel_plotter(rng.random((8, 8))) is None  # no save_dir
+    with pytest.raises(ValueError, match="Only 2-D and 3-D"):
+        multi_channel_plotter(rng.random((2, 3, 8, 8)), save_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="3 channels"):
+        multi_channel_plotter(rng.random((4, 8, 8)), save_dir=str(tmp_path))

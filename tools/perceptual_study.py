@@ -17,8 +17,19 @@ Run on CPU (JAX_PLATFORMS=cpu); tiny config so it finishes in minutes:
 from __future__ import annotations
 
 import json
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# CPU study: the env may pre-import jax against a TPU (sitecustomize), so
+# the env var alone is not enough — update the live config too.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def run(perceptual: str, steps: int = 24, seed: int = 7):

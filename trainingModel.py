@@ -80,6 +80,8 @@ def train_gan(args):
         perceptual_weights_path=args.perceptual_weights,
         dtype=args.dtype,
         unet_base_features=args.unet_base_features,
+        remat=args.remat,
+        cache_h=not args.no_cache_h,
     )
 
     check_and_create_folder(os.path.dirname(args.save_path_G))
@@ -167,5 +169,10 @@ if __name__ == "__main__":
     parser.add_argument('--resume_dir', type=str, default=None,
                         help="Directory for full-train-state checkpoints; restarting "
                              "with the same value resumes from the latest one.")
+    parser.add_argument('--remat', action='store_true',
+                        help="Activation checkpointing through the UNet (high-res training).")
+    parser.add_argument('--no_cache_h', action='store_true',
+                        help="Compute the ASM transfer function on the fly instead of "
+                             "caching the H stack in HBM (high-res / large distance stacks).")
 
     train_gan(parser.parse_args())
