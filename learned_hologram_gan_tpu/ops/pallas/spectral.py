@@ -468,12 +468,18 @@ def _crop_dft_presplit(n, n_out, offset, inverse, transpose):
     in-kernel complex GEMM is then 3 Karatsuba products x 3 compensated
     passes = 9 bf16 GEMMs with no in-kernel weight conversion at all.
     """
+    import ml_dtypes
+
     wre, wim = _crop_dft_consts(n, n_out, offset, inverse, transpose)
     wsum = (wre.astype(np.float64) + wim.astype(np.float64)).astype(np.float32)
     out = []
     for w in (wre, wim, wsum):
-        hi = jnp.asarray(w).astype(jnp.bfloat16)
-        lo = (jnp.asarray(w) - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # numpy-only (ml_dtypes bf16): jnp ops here would be STAGED when this
+        # runs under an outer jit trace (omnistaging), and the lru_cache
+        # would capture per-trace tracers — an UnexpectedTracerError for the
+        # next trace that hits the cache.
+        hi = w.astype(ml_dtypes.bfloat16)
+        lo = (w - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
         out += [hi, lo]
     return tuple(out)
 

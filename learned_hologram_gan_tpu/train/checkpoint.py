@@ -92,16 +92,50 @@ def load_generator_part(state: TrainState, path: str, part: str) -> TrainState:
 # ---------------------------------------------------------------------------
 
 
-def save_train_state(state: TrainState, directory: str, step: Optional[int] = None) -> str:
-    """Write the full TrainState under ``directory/step_{n}`` with Orbax."""
-    import orbax.checkpoint as ocp
+_CHECKPOINTER = None
 
+
+def _checkpointer():
+    """Process-wide Orbax StandardCheckpointer (async under the hood).
+
+    A single instance is reused so in-flight async saves can be awaited with
+    :func:`wait_for_saves` before exit/pruning-of-the-newest/benchmark cuts.
+    """
+    global _CHECKPOINTER
+    if _CHECKPOINTER is None:
+        import orbax.checkpoint as ocp
+
+        _CHECKPOINTER = ocp.StandardCheckpointer()
+    return _CHECKPOINTER
+
+
+def save_train_state(
+    state: TrainState,
+    directory: str,
+    step: Optional[int] = None,
+    wait: bool = True,
+) -> str:
+    """Write the full TrainState under ``directory/step_{n}`` with Orbax.
+
+    ``wait=False`` returns as soon as the host copy is snapshotted and lets
+    the serialization/fsync run in Orbax's background thread — the train
+    loop overlaps the next epoch with the write.  Orbax finalizes the
+    directory atomically (tmp-dir + rename), so :func:`restore_latest` never
+    sees a partial checkpoint; call :func:`wait_for_saves` before shutdown.
+    """
     step = int(state.step) if step is None else step
     path = os.path.abspath(os.path.join(directory, f"step_{step}"))
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     ckptr.save(path, jax.device_get(state), force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
     return path
+
+
+def wait_for_saves() -> None:
+    """Block until every async :func:`save_train_state` has been finalized."""
+    if _CHECKPOINTER is not None:
+        _CHECKPOINTER.wait_until_finished()
 
 
 def restore_train_state(path: str, template: TrainState) -> TrainState:

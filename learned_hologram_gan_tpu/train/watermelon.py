@@ -234,6 +234,7 @@ class Watermelon:
         train_acc = {k: 0.0 for k in LOSS_KEYS + METRIC_KEYS}
         acc_last = dict(train_acc)
         n_train = n_batch = n_batch_last = 0
+        pending_metrics = None  # one-step-delayed metric fetch (see hot loop)
 
         start_step = 0
         if resume_dir is not None:
@@ -262,10 +263,20 @@ class Watermelon:
                 self.state, metrics = train_step(
                     self.state, batch, self.gen_plan, self.multi_plan
                 )
-                for k in train_acc:
-                    train_acc[k] += float(metrics[k])
+                # Accumulate metrics one step behind: fetching the *previous*
+                # step's scalars (already computed) never blocks on the step
+                # just dispatched, so the device pipeline stays full — a
+                # float() on the current step's metrics would stall the host
+                # until the whole step finishes (~one step of idle per step).
+                if pending_metrics is not None:
+                    for k in train_acc:
+                        train_acc[k] += float(pending_metrics[k])
+                pending_metrics = metrics
 
                 if n_batch % info_print_interval == 0:
+                    for k in train_acc:  # flush so the interval is exact
+                        train_acc[k] += float(pending_metrics[k])
+                    pending_metrics = None
                     val = self._validate(eval_step, data_loader_val)
                     denom = n_batch - n_batch_last
                     train_iter = {
@@ -295,10 +306,12 @@ class Watermelon:
                     self._save_history(history, loss_metrics_file)
                     print(f"losses and metrics saved to {loss_metrics_file}")
                 if resume_dir is not None:
-                    p = ckpt_lib.save_train_state(self.state, resume_dir)
+                    # async: the write overlaps the next epoch; Orbax
+                    # finalizes atomically so restore never sees a partial
+                    p = ckpt_lib.save_train_state(self.state, resume_dir, wait=False)
                     self._save_history(history, os.path.join(resume_dir, "history.json"))
                     ckpt_lib.prune_checkpoints(resume_dir, keep=3)
-                    print(f"Full train state saved to {p}")
+                    print(f"Full train state saving (async) to {p}")
                 if visualization_RGBD_AP is not None:
                     self._visualize(visualization_RGBD_AP, save_path_img,
                                     f"epoch {epoch}")
@@ -316,6 +329,7 @@ class Watermelon:
             ckpt_lib.save_train_state(self.state, resume_dir)
             self._save_history(history, os.path.join(resume_dir, "history.json"))
             ckpt_lib.prune_checkpoints(resume_dir, keep=3)
+        ckpt_lib.wait_for_saves()  # drain any in-flight async epoch saves
 
         try:  # observability: compile count of the eval step (tests assert 1)
             self._eval_cache_size = eval_step._cache_size()

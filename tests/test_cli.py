@@ -102,3 +102,12 @@ def test_training_model_cli(tmp_path):
     with open(tmp_path / "out" / "hist.json") as f:
         hist = json.load(f)
     assert "train_losses_tensor" in hist
+
+
+def test_warming_up_asm_example():
+    """The educational ASM study (examples/warming_up_asm.py) must pass its
+    own assertions: band-limiting wins in the far field, plain ASM accurate
+    near field, 2-D band-limit mask changes the far-field recon."""
+    r = run_cli(["examples/warming_up_asm.py", "--quick", "--cpu"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "all assertions passed" in r.stdout

@@ -169,3 +169,37 @@ def test_fused_gradients_match_composable():
     gw = np.asarray(_on_backend("xla", lambda: jax.grad(loss)(amp)))
     gg = np.asarray(_on_backend("pallas", lambda: jax.grad(loss)(amp)))
     np.testing.assert_allclose(gg, gw, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_path_reusable_across_traces():
+    """Regression: _crop_dft_presplit is lru_cached; under an outer jit trace
+    its weight splits must be concrete numpy (ml_dtypes bf16), NOT jnp ops —
+    omnistaging would stage those, the cache would capture per-trace tracers,
+    and the *second* jitted program touching the fused path would die with
+    UnexpectedTracerError (exactly the train-then-eval sequence on TPU)."""
+    plan = _tiny_plan()
+    rng = np.random.default_rng(7)
+    amp = jnp.asarray(rng.random((2, 3, 24, 32)).astype(np.float32))
+    phs = jnp.asarray(rng.random((2, 3, 24, 32)).astype(np.float32))
+
+    spectral._crop_dft_presplit.cache_clear()
+    spectral._stage_consts.cache_clear()
+
+    @jax.jit
+    def first(plan, a, p):
+        return asm.propagate_batch_multi(plan, a, p)
+
+    @jax.jit
+    def second(plan, a, p):  # distinct trace, same cached weights
+        return asm.propagate_batch_multi(plan, a, p) * 2.0
+
+    def run():
+        r1 = first(plan, amp, phs)
+        r2 = second(plan, amp, phs)
+        return r1, r2
+
+    r1, r2 = _on_backend("pallas", run)
+    np.testing.assert_allclose(np.asarray(r2), 2.0 * np.asarray(r1), rtol=1e-6)
+    for w in spectral._crop_dft_presplit.cache.values() if hasattr(
+            spectral._crop_dft_presplit, "cache") else []:
+        assert isinstance(w, tuple)

@@ -139,6 +139,21 @@ def test_orbax_full_state_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_orbax_async_save_then_wait_roundtrip(tmp_path):
+    """wait=False saves finalize after wait_for_saves(); newest wins restore."""
+    trainer = tiny_trainer(use_gan=False)
+    trainer._init_state(0, 1e-3, 1e-3)
+    d = str(tmp_path / "ckpts")
+    ckpt_lib.save_train_state(trainer.state, d, step=1, wait=False)
+    ckpt_lib.save_train_state(trainer.state, d, step=7, wait=False)
+    ckpt_lib.wait_for_saves()
+    assert ckpt_lib.latest_step_dir(d).endswith("step_7")
+    restored = ckpt_lib.restore_latest(d, trainer.state)
+    for a, b in zip(jax.tree.leaves(trainer.state.params_G),
+                    jax.tree.leaves(restored.params_G)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_determinism_same_seed_same_step():
     """Functional PRNG threading: same seed => bitwise-identical step output."""
     batch = synthetic_batches(1)[0]
