@@ -35,7 +35,7 @@ class WGANGPDiscriminator192(nn.Module):
                 padding="SAME",
                 dtype=self.dtype,
             )(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
             x = nn.leaky_relu(x.astype(self.dtype), 0.2)
         x = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype)(x)
         return x.astype(jnp.float32).reshape(x.shape[0], -1)

@@ -51,8 +51,12 @@ def _conv(features: int, kernel: int, strides: int = 1, dtype: Dtype = jnp.float
 class ResidualBlock(nn.Module):
     """conv3x3-BN-ReLU-conv3x3-BN (+1x1 shortcut) -> add -> ReLU.
 
-    Reference neural_network_components.py:6-32.  BatchNorm runs in f32 even
-    under bf16 compute for stable statistics.
+    Reference neural_network_components.py:6-32.  BatchNorm runs in the
+    block compute dtype (bf16 on TPU) — flax computes the mean/var
+    reductions in f32 regardless (force_float32_reductions), so statistics
+    stay stable while the normalized activations avoid a full f32
+    materialize-and-cast round trip per BN (the dominant HBM traffic of the
+    UNet at 384^2+).
     """
 
     features: int
@@ -63,10 +67,10 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         y = _conv(self.features, 3, self.strides, self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = _conv(self.features, 3, 1, self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         if self.use_1x1conv:
             x = _conv(self.features, 1, self.strides, self.dtype)(x)
         return nn.relu(y + x)
@@ -156,7 +160,7 @@ class _ResNetBase(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         y = _conv(self.stem_features, self.stem_kernel, 1, self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         y = nn.relu(y)
         for feats, use_1x1 in self.block_plan:
             y = ResidualBlock(feats, use_1x1conv=use_1x1, dtype=self.dtype)(y, train)
