@@ -249,7 +249,53 @@ def _resolved_backend() -> str:
     return _FFT_BACKEND
 
 
+# Spatial sharding context: when set, every _fft2/_ifft2 in this module runs
+# the differentiable shard_map pencil FFT (parallel/fft.sharded_fft2) with the
+# padded row axis split across the mesh — which makes EVERY propagation
+# primitive (and anything built on them, including the whole GAN train step)
+# spatially sharded.  This is the 4K-training memory lever: no device ever
+# holds a full padded plane.  shard_map transposes cleanly, so jax.grad
+# through the context works (gradients ride the same all_to_all pattern).
+# The mesh is a trace-time constant (like the backend string); use the
+# context manager around jit *tracing* (the compiled program keeps it).
+_SPATIAL_MESH = None  # (Mesh, axis_name) | None
+
+
+class spatial_mesh:
+    """Context manager: route asm FFTs through the row-sharded pencil FFT.
+
+    with asm.spatial_mesh(mesh, "rows"):
+        step = build_train_step(...)   # traces with sharded spectral ops
+    Both padded dims must be divisible by the mesh size.
+    """
+
+    def __init__(self, mesh, axis_name: str | None = None):
+        if mesh is not None and axis_name is None:
+            axis_name = mesh.axis_names[0]
+        self.ctx = (mesh, axis_name) if mesh is not None else None
+
+    def __enter__(self):
+        global _SPATIAL_MESH
+        self.prev = _SPATIAL_MESH
+        _SPATIAL_MESH = self.ctx
+        return self
+
+    def __exit__(self, *exc):
+        global _SPATIAL_MESH
+        _SPATIAL_MESH = self.prev
+        return False
+
+
+def get_spatial_mesh():
+    return _SPATIAL_MESH
+
+
 def _fft2(x: jnp.ndarray) -> jnp.ndarray:
+    if _SPATIAL_MESH is not None:
+        from ..parallel import fft as pfft
+
+        mesh, axis = _SPATIAL_MESH
+        return pfft.sharded_fft2(x, mesh, axis, inverse=False)
     backend = _resolved_backend()
     if backend == "mxu":
         from . import mxu_fft
@@ -263,6 +309,11 @@ def _fft2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _ifft2(x: jnp.ndarray) -> jnp.ndarray:
+    if _SPATIAL_MESH is not None:
+        from ..parallel import fft as pfft
+
+        mesh, axis = _SPATIAL_MESH
+        return pfft.sharded_fft2(x, mesh, axis, inverse=True)
     backend = _resolved_backend()
     if backend == "mxu":
         from . import mxu_fft
@@ -285,6 +336,8 @@ def _ifft2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fused_ok(plan: PropagatorPlan) -> bool:
+    if _SPATIAL_MESH is not None:
+        return False  # spatial sharding composes the pencil-FFT path instead
     if _resolved_backend() != "pallas":
         return False
     from .pallas import spectral

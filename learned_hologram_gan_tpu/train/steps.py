@@ -95,8 +95,9 @@ def gradient_penalty(
     batch_stats_D,
     real: jnp.ndarray,
     fake: jnp.ndarray,
-    key: jax.Array,
+    key: jax.Array | None = None,
     remat: bool = False,
+    alpha: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """WGAN-GP penalty ((||grad_x D(x_interp)||_2 - 1)^2).mean().
 
@@ -106,8 +107,16 @@ def gradient_penalty(
     a momentum-only difference, documented deviation.  ``remat`` recomputes
     the critic forward inside the double backward instead of storing its
     activations (high-res memory lever).
+
+    Pass ``alpha`` (precomputed outside any jax.grad region) instead of
+    ``key`` when the surrounding program mixes automatic sharding with
+    shard_map (asm.spatial_mesh): random bits sampled *inside* the
+    double-grad region can lower to a different stream under GSPMD even with
+    threefry_partitionable, silently decoupling the sharded and unsharded
+    trajectories.  The train step always hoists the draw.
     """
-    alpha = jax.random.uniform(key, (real.shape[0], 1, 1, 1))
+    if alpha is None:
+        alpha = jax.random.uniform(key, (real.shape[0], 1, 1, 1))
     interp = alpha * real + (1.0 - alpha) * fake
 
     def critic_sum(x):
@@ -176,6 +185,34 @@ def build_train_step(
     def train_step(state: TrainState, batch: Batch, gen_plan, multi_plan):
         key, dist_key, gp_keys_base = jax.random.split(state.key, 3)
 
+        # Spatial-sharding boundary discipline: when asm.spatial_mesh is
+        # active, the recon runs row-sharded (shard_map pencil FFTs) and
+        # EVERYTHING ELSE — params, critic double-grad, cotangents, grads —
+        # is pinned replicated.  Leaving those shardings to the auto-
+        # partitioner is observed to produce *wrong values* (not noise:
+        # D_loss off 40x, G-grad norms off 2x, deterministically) when the
+        # transposed shard_maps and the WGAN-GP double backward share one
+        # program on the CPU backend; explicit replication is also the
+        # intended layout — each device computes the full critic on the
+        # cropped window.  `_rep` is identity when no spatial mesh is set.
+        smesh = asm.get_spatial_mesh()
+        if smesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            _rep_sharding = NamedSharding(smesh[0], PartitionSpec())
+
+            def _rep(tree):
+                return jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, _rep_sharding),
+                    tree,
+                )
+        else:
+            def _rep(tree):
+                return tree
+
+        params_G_in = _rep(state.params_G)
+        params_D_in = _rep(state.params_D)
+
         # ---- steps 1-4 exactly once, via vjp (forward reused for both the
         # critic's detached views and the generator's backward) ----
         def recon_of_params(p_G):
@@ -188,20 +225,27 @@ def build_train_step(
 
         recon_fn = jax.checkpoint(recon_of_params) if remat else recon_of_params
         (hat_amps, hat_phs), recon_vjp, (target_amps, target_phs, bs_G_new) = jax.vjp(
-            recon_fn, state.params_G, has_aux=True
+            recon_fn, params_G_in, has_aux=True
         )
+        hat_amps, hat_phs = _rep(hat_amps), _rep(hat_phs)
+        target_amps, target_phs = _rep(target_amps), _rep(target_phs)
         hat_amps_d = jax.lax.stop_gradient(hat_amps)
         target_amps_d = jax.lax.stop_gradient(target_amps)
 
         # ---- step 5: critic updates x ratio (reference :244-261), scanned
         # so program size / compile time don't grow with the ratio ----
-        params_D, bs_D, opt_D = state.params_D, state.batch_stats_D, state.opt_state_D
+        params_D, bs_D, opt_D = params_D_in, state.batch_stats_D, state.opt_state_D
         d_loss_acc = jnp.float32(0.0)
         if use_gan and discriminator_train_ratio > 0:
             gp_keys = jax.random.split(gp_keys_base, discriminator_train_ratio)
 
             def d_step(carry, gp_key):
                 p_D, bs, opt = carry
+                # Hoisted OUT of the value_and_grad region: see
+                # gradient_penalty's docstring on sharding-stable RNG.
+                gp_alpha = jax.random.uniform(
+                    gp_key, (target_amps_d.shape[0], 1, 1, 1)
+                )
 
                 def d_loss_fn(p, bs_in):
                     apply_d = (
@@ -216,7 +260,7 @@ def build_train_step(
                     fake_v, bs2 = apply_d(p, bs1, hat_amps_d)
                     gp = gradient_penalty(
                         discriminator, p, bs2, target_amps_d, hat_amps_d,
-                        gp_key, remat=remat,
+                        remat=remat, alpha=gp_alpha,
                     )
                     loss = (
                         -jnp.mean(real_v)
@@ -228,8 +272,8 @@ def build_train_step(
                 (d_loss, bs), d_grads = jax.value_and_grad(
                     d_loss_fn, has_aux=True
                 )(p_D, bs)
-                updates, opt = tx_D.update(d_grads, opt, p_D)
-                p_D = optax.apply_updates(p_D, updates)
+                updates, opt = tx_D.update(_rep(d_grads), opt, p_D)
+                p_D = _rep(optax.apply_updates(p_D, updates))
                 return (p_D, bs, opt), d_loss
 
             (params_D, bs_D, opt_D), d_losses = jax.lax.scan(
@@ -257,7 +301,8 @@ def build_train_step(
         (_, terms), out_cotangents = jax.value_and_grad(
             g_loss_of_outputs, argnums=(0, 1), has_aux=True
         )(hat_amps, hat_phs)
-        (g_grads,) = recon_vjp(out_cotangents)
+        (g_grads,) = recon_vjp(_rep(out_cotangents))
+        g_grads = _rep(g_grads)
         updates_G, opt_G = tx_G.update(g_grads, state.opt_state_G, state.params_G)
         params_G = optax.apply_updates(state.params_G, updates_G)
 

@@ -72,10 +72,15 @@ class Watermelon:
         feature_d: int = 32,
         remat: bool = False,
         cache_h: bool = True,
+        spatial_mesh=None,
     ):
         # remat + cache_h=False are the single-chip high-resolution levers:
         # activation checkpointing through the UNet, and no cached transfer-
-        # function stack in HBM (H computed on the fly / in the fused kernel)
+        # function stack in HBM (H computed on the fly / in the fused kernel).
+        # spatial_mesh (a jax.sharding.Mesh) is the MULTI-chip one: every
+        # propagation FFT becomes a shard_map pencil FFT with the padded row
+        # axis split across the mesh (asm.spatial_mesh) — the 4K-training
+        # layout where no device holds a full padded plane.
         rows, cols = input_shape[-2], input_shape[-1]
         if distance_stack is None:
             distance_stack = default_distance_stack()
@@ -96,6 +101,7 @@ class Watermelon:
             remat=remat,
         )
         self.disc_config = DiscriminatorConfig(feature_d=feature_d, dtype=dtype)
+        self.spatial_mesh = spatial_mesh
         self.use_gan = use_gan
         self._loss_defaults = dict(
             phase_loss=phase_loss,
@@ -260,9 +266,10 @@ class Watermelon:
                 batch = tuple(jnp.asarray(x) for x in batch)
                 n_train += int(batch[0].shape[0])
 
-                self.state, metrics = train_step(
-                    self.state, batch, self.gen_plan, self.multi_plan
-                )
+                with asm.spatial_mesh(self.spatial_mesh):
+                    self.state, metrics = train_step(
+                        self.state, batch, self.gen_plan, self.multi_plan
+                    )
                 # Accumulate metrics one step behind: fetching the *previous*
                 # step's scalars (already computed) never blocks on the step
                 # just dispatched, so the device pipeline stays full — a
@@ -368,7 +375,8 @@ class Watermelon:
                     for x in batch
                 )
             batch = tuple(jnp.asarray(x) for x in batch)
-            metrics = eval_step(self.state, batch, self.gen_plan, self.multi_plan)
+            with asm.spatial_mesh(self.spatial_mesh):
+                metrics = eval_step(self.state, batch, self.gen_plan, self.multi_plan)
             for k in acc:
                 acc[k] += float(metrics[k])
             n += 1

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from learned_hologram_gan_tpu.config import GeneratorConfig, OpticsConfig
 from learned_hologram_gan_tpu.models import Generator
@@ -129,3 +130,46 @@ def test_watermelon_highres_levers_wiring():
                   for c in (4, 3, 3))
     _, metrics = step(trainer.state, batch, trainer.gen_plan, trainer.multi_plan)
     assert np.isfinite(float(metrics["G_loss"]))
+
+
+@pytest.mark.slow
+def test_highres_training_step_on_8device_mesh():
+    """1080p-class full-GAN train step, data-parallel over the 8-virtual-
+    device CPU mesh (round-1 verdict item #5's mesh half; the single-chip
+    half is tools/highres_train_bench.py -> BASELINE.md).  remat +
+    cache_h=False keep per-device memory at one padded plane set."""
+    import jax.numpy as jnp
+
+    from learned_hologram_gan_tpu.config import LossConfig
+    from learned_hologram_gan_tpu.parallel import (
+        make_mesh,
+        replicate_state,
+        shard_batch,
+    )
+    from learned_hologram_gan_tpu.train import Watermelon, build_train_step
+
+    rows, cols = 544, 960  # half-1080p per dim: keeps CPU runtime sane
+    trainer = Watermelon(
+        filter_radius_coefficient=0.45, pad_size=160,
+        distance_stack=np.linspace(-4e-4, 0.0, 9)[:-1],
+        input_shape=(8, 4, rows, cols), use_gan=True, perceptual="none",
+        unet_base_features=4, feature_d=4, dtype="bfloat16",
+        remat=True, cache_h=False,
+    )
+    trainer._init_state(seed=0, lr_G=1e-3, lr_D=1e-3)
+    step = build_train_step(
+        trainer.generator, trainer.discriminator, trainer.tx_G, trainer.tx_D,
+        LossConfig(perceptual="none"), use_gan=True,
+        discriminator_train_ratio=1, discriminator_lambda=10.0, remat=True,
+    )
+    mesh = make_mesh(8)
+    state = replicate_state(trainer.state, mesh)
+    rng = np.random.default_rng(0)
+    batch = shard_batch(
+        tuple(rng.random((8, c, rows, cols)).astype(np.float32)
+              for c in (4, 3, 3)),
+        mesh,
+    )
+    for _ in range(2):
+        state, metrics = step(state, batch, trainer.gen_plan, trainer.multi_plan)
+        assert np.isfinite(float(metrics["G_loss"]))

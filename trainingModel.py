@@ -82,6 +82,8 @@ def train_gan(args):
         unet_base_features=args.unet_base_features,
         remat=args.remat,
         cache_h=not args.no_cache_h,
+        spatial_mesh=(make_mesh(args.spatial_mesh_devices)
+                      if args.spatial_mesh_devices else None),
     )
 
     check_and_create_folder(os.path.dirname(args.save_path_G))
@@ -164,6 +166,10 @@ if __name__ == "__main__":
                         help="Conv compute dtype (bfloat16 recommended on TPU).")
     parser.add_argument('--mesh_devices', type=int, default=0,
                         help="Data-parallel over this many devices (0 = single device).")
+    parser.add_argument('--spatial_mesh_devices', type=int, default=0,
+                        help="Spatially shard every propagation FFT over this many "
+                             "devices (pencil FFT; the 4K-training mode — padded "
+                             "rows/cols must divide the count). 0 = off.")
     parser.add_argument('--unet_base_features', type=int, default=64,
                         help="UNet width multiplier (reference architecture = 64).")
     parser.add_argument('--resume_dir', type=str, default=None,
