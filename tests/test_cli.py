@@ -111,3 +111,15 @@ def test_warming_up_asm_example():
     r = run_cli(["examples/warming_up_asm.py", "--quick", "--cpu"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "all assertions passed" in r.stdout
+
+
+def test_warming_up_aperture_example():
+    r = run_cli(["examples/warming_up_aperture.py", "--cpu"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "all assertions passed" in r.stdout
+
+
+def test_warming_up_resnet_example():
+    r = run_cli(["examples/warming_up_resnet.py", "--cpu", "--steps", "60"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "all assertions passed" in r.stdout
