@@ -63,3 +63,25 @@ def test_train_ap2poh_smoke(tmp_path):
     )
     assert np.isfinite(train_hist).all()
     assert os.path.exists(str(tmp_path / "ap2poh.msgpack"))
+
+
+def test_train_ap2poh_under_spatial_mesh(tmp_path):
+    """Stage-2 pretraining (the natural high-res pretraining user) must run
+    spatially sharded via asm.spatial_mesh with finite decreasing loss —
+    no double-grad here, so the whole loop rides the pencil FFTs directly."""
+    from learned_hologram_gan_tpu.parallel import make_mesh
+
+    optics = OpticsConfig(rows=16, cols=16, pad_size=8,  # padded 32 % 8 == 0
+                          filter_radius_coefficient=0.45)
+    plan = asm.make_plan(optics, distances=[1e-3])
+    model = AP2POH(kernel_size=3)
+    amp = RNG.random((2, 3, 16, 16)).astype(np.float32)
+    phs = (RNG.random((2, 3, 16, 16)).astype(np.float32)) * 2 * np.pi
+    variables = model.init(jax.random.key(0), plan, amp, phs)
+    with asm.spatial_mesh(make_mesh()):
+        params, bs, train_hist, val_hist = train_ap2poh(
+            model, plan, variables["params"],
+            lambda: iter([(amp, phs)] * 3), lambda: iter([(amp, phs)]),
+            epochs=2, lr=1e-2, save_path=str(tmp_path / "ap2poh.msgpack"),
+        )
+    assert np.isfinite(train_hist).all()
