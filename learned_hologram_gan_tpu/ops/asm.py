@@ -264,9 +264,18 @@ _SPATIAL_MESH = None  # (Mesh, axis_name) | None
 class spatial_mesh:
     """Context manager: route asm FFTs through the row-sharded pencil FFT.
 
-    with asm.spatial_mesh(mesh, "rows"):
-        step = build_train_step(...)   # traces with sharded spectral ops
+    with asm.spatial_mesh(mesh):
+        out = some_jitted_fn(...)      # traces with sharded spectral ops
     Both padded dims must be divisible by the mesh size.
+
+    CAUTION — trace-time only: jit does NOT key its cache on this context.
+    A function already compiled for the same shapes outside the context
+    silently reuses the unsharded executable (and vice versa).  For train
+    steps, prefer binding the mesh explicitly at build time
+    (``build_train_step(..., spatial_mesh=mesh)`` /
+    ``Watermelon(spatial_mesh=mesh)``), which wraps every trace of that
+    step; use the ambient context only around functions you have not yet
+    called.
     """
 
     def __init__(self, mesh, axis_name: str | None = None):

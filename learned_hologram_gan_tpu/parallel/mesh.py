@@ -35,31 +35,45 @@ def initialize_distributed(
 ) -> bool:
     """Multi-host bring-up: ``jax.distributed.initialize`` when configured.
 
-    Call once at program start on every host of a multi-host TPU pod slice
-    (or pass nothing under a supported launcher — GKE/Cloud TPU environments
-    auto-detect via their metadata, and JAX reads ``COORDINATOR_ADDRESS`` /
-    ``NUM_PROCESSES`` / ``PROCESS_ID`` env vars).  After it returns,
-    ``jax.devices()`` spans the whole pod and the GSPMD train step scales
-    across hosts unchanged — DCN only ever carries the gradient all-reduce
-    for mesh axes laid out across slices (see :func:`make_hybrid_mesh`).
+    Call once at program start on every host of a multi-host TPU pod slice.
+    Two supported configurations:
+
+    * **Launcher auto-detect** — under Cloud TPU / GKE / Slurm, call with no
+      arguments *after* exporting ``JAX_COORDINATOR_ADDRESS`` (the only env
+      var installed JAX actually reads; bare ``COORDINATOR_ADDRESS`` /
+      ``NUM_PROCESSES`` / ``PROCESS_ID`` are NOT consulted) — the cluster
+      environment supplies process count/id.
+    * **Explicit** — pass all three of ``coordinator_address``,
+      ``num_processes``, ``process_id``.
+
+    After it returns, ``jax.devices()`` spans the whole pod and the GSPMD
+    train step scales across hosts unchanged — DCN only ever carries the
+    gradient all-reduce for mesh axes laid out across slices (see
+    :func:`make_hybrid_mesh`).
 
     Returns True if distributed mode was initialized, False when running
-    single-process (no coordinator configured) — the single-host fallback.
+    single-process (nothing configured) — the single-host fallback.
     """
     import os
 
-    configured = (
-        coordinator_address is not None
-        or os.environ.get("COORDINATOR_ADDRESS")
-        or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    )
-    if not configured and (num_processes is None or num_processes <= 1):
+    explicit = coordinator_address is not None
+    if explicit and (num_processes is None or process_id is None):
+        raise ValueError(
+            "explicit multi-host init needs all of coordinator_address, "
+            "num_processes and process_id"
+        )
+    env_configured = bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if not explicit and not env_configured:
         return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    if explicit:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    else:
+        # env/launcher path: let JAX's cluster auto-detection fill the rest
+        jax.distributed.initialize()
     return True
 
 
@@ -84,8 +98,12 @@ def make_hybrid_mesh(
         from jax.experimental import mesh_utils
 
         try:
+            # mesh_shape and dcn_mesh_shape are per-axis factors multiplied
+            # elementwise into the final mesh shape — the DCN axis must be 1
+            # in mesh_shape and the ICI axis 1 in dcn_mesh_shape, giving
+            # shape (num_slices, per_slice) with devices grouped by slice.
             devices = mesh_utils.create_hybrid_device_mesh(
-                (per_slice,), (num_slices,)
+                (1, per_slice), (num_slices, 1)
             )
             return Mesh(devices, (dcn_axis, ici_axis))
         except (ValueError, AssertionError):

@@ -169,9 +169,14 @@ def restore_latest(directory: str, template: TrainState) -> Optional[TrainState]
 
 
 def prune_checkpoints(directory: str, keep: int = 3) -> None:
-    """Retention: delete all but the ``keep`` newest ``step_*`` checkpoints."""
+    """Retention: delete all but the ``keep`` newest ``step_*`` checkpoints.
+
+    ``keep=0`` deletes every checkpoint (``[:-0]`` would silently keep all).
+    """
     import shutil
 
+    if keep < 0:
+        raise ValueError(f"keep must be >= 0, got {keep}")
     if not os.path.isdir(directory):
         return
     steps = []
@@ -181,5 +186,6 @@ def prune_checkpoints(directory: str, keep: int = 3) -> None:
                 steps.append((int(name.split("_", 1)[1]), name))
             except ValueError:
                 continue
-    for _, name in sorted(steps)[:-keep]:
+    doomed = sorted(steps)[:-keep] if keep > 0 else sorted(steps)
+    for _, name in doomed:
         shutil.rmtree(os.path.join(directory, name), ignore_errors=True)

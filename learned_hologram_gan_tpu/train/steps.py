@@ -174,13 +174,29 @@ def build_train_step(
     discriminator_train_ratio: int,
     discriminator_lambda: float,
     remat: bool = False,
+    spatial_mesh=None,
 ) -> Callable[[TrainState, Batch, asm.PropagatorPlan, asm.PropagatorPlan], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted (state, batch, gen_plan, multi_plan) -> (state, metrics) step.
 
     ``remat=True`` checkpoints the generator+reconstruction forward: its
     padded spectral intermediates (the dominant residuals at 1080p/4K) are
     recomputed during the backward pass instead of being stored.
+
+    ``spatial_mesh`` binds the spatially-sharded pencil-FFT mode to THIS
+    step function at build time — the safe way to use it.  The ambient
+    ``asm.spatial_mesh`` context also works but only affects *tracing*:
+    entering it after the step has already compiled for these shapes
+    silently reuses the unsharded executable (jit does not key its cache on
+    the context).  Passing the mesh here makes the binding unambiguous.
     """
+
+    # one critic-apply for every site below: remat recomputes the critic
+    # forward in the backward pass instead of storing activations
+    apply_d = (
+        jax.checkpoint(functools.partial(_apply_d, discriminator))
+        if remat
+        else functools.partial(_apply_d, discriminator)
+    )
 
     def train_step(state: TrainState, batch: Batch, gen_plan, multi_plan):
         key, dist_key, gp_keys_base = jax.random.split(state.key, 3)
@@ -248,14 +264,6 @@ def build_train_step(
                 )
 
                 def d_loss_fn(p, bs_in):
-                    apply_d = (
-                        jax.checkpoint(
-                            functools.partial(_apply_d, discriminator),
-                            static_argnums=(),
-                        )
-                        if remat
-                        else functools.partial(_apply_d, discriminator)
-                    )
                     real_v, bs1 = apply_d(p, bs_in, target_amps_d)
                     fake_v, bs2 = apply_d(p, bs1, hat_amps_d)
                     gp = gradient_penalty(
@@ -285,11 +293,6 @@ def build_train_step(
         # grad w.r.t. the recon outputs, pulled back through the single
         # generator forward's vjp ----
         def g_loss_of_outputs(h_amps, h_phs):
-            apply_d = (
-                jax.checkpoint(functools.partial(_apply_d, discriminator))
-                if remat
-                else functools.partial(_apply_d, discriminator)
-            )
             d_out, _ = apply_d(params_D, bs_D, h_amps)
             loss_from_d = -jnp.mean(d_out)
             loss, terms = _g_loss_terms(
@@ -322,6 +325,13 @@ def build_train_step(
             opt_state_D=opt_D,
         )
         return new_state, metrics
+
+    if spatial_mesh is not None:
+        inner = train_step
+
+        def train_step(state, batch, gen_plan, multi_plan):  # noqa: F811
+            with asm.spatial_mesh(spatial_mesh):
+                return inner(state, batch, gen_plan, multi_plan)
 
     return jax.jit(train_step, donate_argnums=(0,))
 

@@ -225,7 +225,7 @@ class Watermelon:
         train_step = build_train_step(
             self.generator, self.discriminator, self.tx_G, self.tx_D,
             loss_cfg, self.use_gan, discriminator_train_ratio, discriminator_lambda,
-            remat=self.gen_config.remat,
+            remat=self.gen_config.remat, spatial_mesh=self.spatial_mesh,
         )
         eval_step = build_eval_step(self.generator, self.discriminator, loss_cfg)
 
@@ -353,27 +353,17 @@ class Watermelon:
     def _validate(self, eval_step, data_loader_val) -> Dict[str, float]:
         """Full validation pass (reference _validate_generator, :479-552).
 
-        Ragged final batches (``drop_last=False`` loaders) are padded up to
-        the first-seen batch size by edge repetition, so the jitted eval step
-        compiles exactly once per validation shape instead of recompiling on
-        every epoch's short tail batch.  Like the reference, each batch's
-        metrics get equal weight in the epoch average.
+        A ragged final batch (``drop_last=False`` loaders) keeps its own
+        (smaller) shape — the jitted eval step compiles once per *distinct*
+        batch shape, i.e. at most twice per validation config, and its
+        metrics are exact.  (An earlier padding-by-edge-repetition scheme
+        achieved a single compile but silently over-weighted the repeated
+        tail sample in every recorded scalar.)  Like the reference, each
+        batch's metrics get equal weight in the epoch average.
         """
         acc = {k: 0.0 for k in LOSS_KEYS + METRIC_KEYS}
         n = 0
-        pad_to = None
         for batch in self._epoch(data_loader_val):
-            b = batch[0].shape[0]
-            if pad_to is None:
-                pad_to = b
-            if b < pad_to:
-                batch = tuple(
-                    np.concatenate(
-                        [np.asarray(x), np.repeat(np.asarray(x[-1:]), pad_to - b, axis=0)],
-                        axis=0,
-                    )
-                    for x in batch
-                )
             batch = tuple(jnp.asarray(x) for x in batch)
             with asm.spatial_mesh(self.spatial_mesh):
                 metrics = eval_step(self.state, batch, self.gen_plan, self.multi_plan)
@@ -422,10 +412,13 @@ class Watermelon:
         from ..utils.plotting import save_rgb_image
 
         rgbd = jnp.asarray(visualization_RGBD_AP[0])[None]
-        poh = self.infer_fn(
-            self.state.params_G, self.state.batch_stats_G, self.gen_plan, rgbd
-        )
-        amp_hat, phs_hat = asm.propagate_poh2ap_forward(self.gen_plan, poh)
+        # spatial ctx: in 4K spatial-sharding mode this eager propagation
+        # would otherwise materialize full padded planes on one device
+        with asm.spatial_mesh(self.spatial_mesh):
+            poh = self.infer_fn(
+                self.state.params_G, self.state.batch_stats_G, self.gen_plan, rgbd
+            )
+            amp_hat, phs_hat = asm.propagate_poh2ap_forward(self.gen_plan, poh)
         both = tensor_normalizor_2d(jnp.concatenate([amp_hat, phs_hat], axis=0))
         save_rgb_image(np.asarray(both[0]), save_path_img, f"amp_hat in {tag}")
         save_rgb_image(np.asarray(both[1]), save_path_img, f"phs_hat in {tag}")
@@ -436,10 +429,11 @@ class Watermelon:
         """Inference: RGBD (B,4,H,W) -> POH (B,3,H,W) (reference generatePOH)."""
         if self.state is None:
             self._init_state(0, 1e-3, 1e-3)
-        return self.infer_fn(
-            self.state.params_G, self.state.batch_stats_G, self.gen_plan,
-            jnp.asarray(rgbd),
-        )
+        with asm.spatial_mesh(self.spatial_mesh):
+            return self.infer_fn(
+                self.state.params_G, self.state.batch_stats_G, self.gen_plan,
+                jnp.asarray(rgbd),
+            )
 
 
 # ---------------------------------------------------------------------------

@@ -144,6 +144,26 @@ def test_initialize_distributed_noop_single_host(monkeypatch):
     assert initialize_distributed() is False
 
 
+def test_initialize_distributed_explicit_needs_all_three():
+    from learned_hologram_gan_tpu.parallel import initialize_distributed
+
+    with pytest.raises(ValueError, match="all of"):
+        initialize_distributed(coordinator_address="h:1", num_processes=None)
+
+
+def test_prune_checkpoints_keep_zero_deletes_all(tmp_path):
+    import os
+
+    from learned_hologram_gan_tpu.train import checkpoint as ckpt_lib
+
+    for s_ in (1, 2, 3):
+        os.makedirs(tmp_path / f"step_{s_}")
+    ckpt_lib.prune_checkpoints(str(tmp_path), keep=0)
+    assert not any(p.name.startswith("step_") for p in tmp_path.iterdir())
+    with pytest.raises(ValueError):
+        ckpt_lib.prune_checkpoints(str(tmp_path), keep=-1)
+
+
 def test_dryrun_multichip_full_train_step():
     """The driver's multi-chip dry run: full GAN step on the 8-device mesh."""
     import importlib.util

@@ -243,15 +243,38 @@ def test_resume_kill_restart(tmp_path):
     )
 
 
-def test_validation_pads_ragged_batches_one_compile(tmp_path):
-    """A short final val batch must not retrigger compilation: it is padded
-    up to the first-seen batch size (round-1 verdict item #10)."""
+def test_validation_ragged_batches_bounded_compiles_exact_metrics(tmp_path):
+    """A short final val batch compiles at most once more (shape-cached, NOT
+    once per epoch — round-1 verdict item #10) and its metrics are EXACT:
+    an earlier padding-by-edge-repetition scheme hit one compile but
+    over-weighted the duplicated tail sample in every recorded scalar."""
     trainer = tiny_trainer(use_gan=False)
-    ragged_val = [synthetic_batches(1, batch=2)[0], synthetic_batches(1, batch=1)[0]]
+    full = synthetic_batches(1, batch=2)[0]
+    tail = synthetic_batches(1, batch=1)[0]
+    ragged_val = [full, tail]
     trainer.train(
         data_loader_train=lambda: iter(synthetic_batches(1)),
         data_loader_val=lambda: iter(ragged_val),
-        epoch_num=1, info_print_interval=1, checkpoint_iterval=10,
+        epoch_num=2, info_print_interval=1, checkpoint_iterval=10,
     )
-    # the jitted eval step saw exactly one (shape, dtype) signature
-    assert trainer._eval_cache_size == 1
+    # one signature per distinct val batch shape, NOT per epoch
+    assert trainer._eval_cache_size == 2
+
+    # exactness: epoch average == mean of per-batch evals on the raw batches
+    from learned_hologram_gan_tpu.config import LossConfig
+    from learned_hologram_gan_tpu.train.steps import build_eval_step
+
+    eval_step = build_eval_step(
+        trainer.generator, trainer.discriminator,
+        LossConfig(perceptual="none", use_gan=False)
+        if "use_gan" in LossConfig.__dataclass_fields__
+        else LossConfig(perceptual="none"),
+    )
+    got = trainer._validate(eval_step, lambda: iter(ragged_val))
+    m_full = eval_step(trainer.state, tuple(jnp.asarray(x) for x in full),
+                       trainer.gen_plan, trainer.multi_plan)
+    m_tail = eval_step(trainer.state, tuple(jnp.asarray(x) for x in tail),
+                       trainer.gen_plan, trainer.multi_plan)
+    for k in ("pixel_loss", "PSNR", "SSIM"):
+        want = (float(m_full[k]) + float(m_tail[k])) / 2.0
+        np.testing.assert_allclose(got[k], want, rtol=1e-6)

@@ -168,8 +168,8 @@ if __name__ == "__main__":
                         help="Data-parallel over this many devices (0 = single device).")
     parser.add_argument('--spatial_mesh_devices', type=int, default=0,
                         help="Spatially shard every propagation FFT over this many "
-                             "devices (pencil FFT; the 4K-training mode — padded "
-                             "rows/cols must divide the count). 0 = off.")
+                             "devices (pencil FFT; the 4K-training mode — the count "
+                             "must divide both padded dims). 0 = off.")
     parser.add_argument('--unet_base_features', type=int, default=64,
                         help="UNet width multiplier (reference architecture = 64).")
     parser.add_argument('--resume_dir', type=str, default=None,
