@@ -278,3 +278,48 @@ def test_validation_ragged_batches_bounded_compiles_exact_metrics(tmp_path):
     for k in ("pixel_loss", "PSNR", "SSIM"):
         want = (float(m_full[k]) + float(m_tail[k])) / 2.0
         np.testing.assert_allclose(got[k], want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("factory_name,expect", [
+    ("watermelon", dict(use_gan=True)),
+    ("watermelon_without_GAN", dict(use_gan=False)),
+    ("watermelon_without_GAN_without_modulation",
+     dict(use_gan=False, use_modulation=False)),
+    ("watermelon_without_GAN_without_perceptual_loss",
+     dict(use_gan=False, perceptual="none")),
+    ("watermelon_without_GAN_and_plain_phase_loss",
+     dict(use_gan=False, phase_loss="plain")),
+    ("watermelon_without_GAN_and_focal_sincos_phase_loss",
+     dict(use_gan=False, phase_loss="focal_sincos")),
+    ("watermelon_without_GAN_and_phase_sincos_gradient_loss",
+     dict(use_gan=False, phase_loss="sincos_gradient")),
+])
+def test_ablation_factories_train_one_step(factory_name, expect):
+    """Each of the reference's 7 trainer variants (watermelon.py:640-938 +
+    the base class) must construct with its override and run one step with a
+    finite loss."""
+    import importlib
+
+    # the train package re-exports the `watermelon` factory *function*, which
+    # shadows the submodule attribute — resolve the module explicitly
+    wm_mod = importlib.import_module("learned_hologram_gan_tpu.train.watermelon")
+    factory = getattr(wm_mod, factory_name)
+    trainer = factory(
+        filter_radius_coefficient=0.45, pad_size=4,
+        distance_stack=np.linspace(-4e-4, 0.0, 5)[:-1],
+        input_shape=(2, 4, 16, 16), perceptual=expect.get("perceptual", "none"),
+        unet_base_features=2, feature_d=2,
+    )
+    assert trainer.use_gan == expect["use_gan"]
+    if "use_modulation" in expect:
+        assert trainer.gen_config.use_modulation == expect["use_modulation"]
+    if "phase_loss" in expect:
+        assert trainer._loss_defaults["phase_loss"] == expect["phase_loss"]
+    batch = synthetic_batches(1)[0]
+    hist = trainer.train(
+        data_loader_train=lambda: iter([batch]),
+        data_loader_val=lambda: iter([batch]),
+        epoch_num=1, info_print_interval=1, checkpoint_iterval=10,
+        discriminator_train_ratio=1, seed=5,
+    )
+    assert np.isfinite(hist["train_losses_tensor"]["G_loss"][0])
