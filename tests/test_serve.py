@@ -1,0 +1,102 @@
+"""POH serving (tools/serve_poh.py): HTTP round trip, micro-batching, parity."""
+
+import http.client
+import os
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PORT = 8791
+ROWS = COLS = 16
+
+
+@pytest.fixture(scope="module")
+def server():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "tools/serve_poh.py", "--cpu", "--rows", str(ROWS),
+         "--cols", str(COLS), "--pad_size", "4", "--unet_base_features", "2",
+         "--port", str(PORT), "--buckets", "1", "2", "4",
+         "--batch_timeout_ms", "30"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True,
+    )
+    # wait for the "serving" line (compile incl.)
+    deadline = time.time() + 300
+    for line in proc.stdout:
+        if "serving POH" in line:
+            break
+        if time.time() > deadline or proc.poll() is not None:
+            raise RuntimeError(f"server failed to start: {line}")
+    yield proc
+    proc.terminate()
+    proc.wait(timeout=30)
+
+
+def _post(rgbd: np.ndarray):
+    conn = http.client.HTTPConnection("127.0.0.1", PORT, timeout=120)
+    body = np.ascontiguousarray(rgbd, np.float32).tobytes()
+    conn.request("POST", "/poh", body=body,
+                 headers={"X-Batch": str(rgbd.shape[0]),
+                          "Content-Length": str(len(body))})
+    resp = conn.getresponse()
+    data = resp.read()
+    if resp.status != 200:
+        raise RuntimeError(data.decode())
+    shape = tuple(int(v) for v in resp.getheader("X-Shape").split(","))
+    return np.frombuffer(data, np.float32).reshape(shape)
+
+
+def test_healthz_and_single_request(server):
+    conn = http.client.HTTPConnection("127.0.0.1", PORT, timeout=60)
+    conn.request("GET", "/healthz")
+    health = conn.getresponse().read()
+    assert b"buckets" in health
+
+    rng = np.random.default_rng(0)
+    rgbd = rng.random((1, 4, ROWS, COLS)).astype(np.float32)
+    poh = _post(rgbd)
+    assert poh.shape == (1, 3, ROWS, COLS)
+    assert np.isfinite(poh).all()
+    # phase map range (double-phase encode output)
+    assert poh.min() >= -2 * np.pi - 1e-3 and poh.max() <= 4 * np.pi + 1e-3
+
+
+def test_concurrent_requests_are_batched_and_deterministic(server):
+    rng = np.random.default_rng(1)
+    reqs = [rng.random((1, 4, ROWS, COLS)).astype(np.float32) for _ in range(4)]
+    outs = [None] * 4
+
+    def call(i):
+        outs[i] = _post(reqs[i])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # same input => same output regardless of which micro-batch carried it
+    again = _post(reqs[2])
+    np.testing.assert_allclose(outs[2], again, atol=1e-5)
+
+    # batch-of-2 request equals two singles stacked
+    pair = np.concatenate([reqs[0], reqs[1]], axis=0)
+    both = _post(pair)
+    np.testing.assert_allclose(both[0], outs[0][0], atol=1e-5)
+    np.testing.assert_allclose(both[1], outs[1][0], atol=1e-5)
+
+
+def test_bad_request_is_a_400(server):
+    conn = http.client.HTTPConnection("127.0.0.1", PORT, timeout=60)
+    conn.request("POST", "/poh", body=b"short",
+                 headers={"X-Batch": "1", "Content-Length": "5"})
+    resp = conn.getresponse()
+    assert resp.status == 400
+    assert b"expected" in resp.read()
