@@ -100,3 +100,30 @@ def test_bad_request_is_a_400(server):
     resp = conn.getresponse()
     assert resp.status == 400
     assert b"expected" in resp.read()
+
+
+def test_quantized_wire_format(server):
+    """X-Quantize: u16 returns phase quantized to 2pi/65536 — reconstruct
+    and compare against the f32 response mod 2pi."""
+    rng = np.random.default_rng(3)
+    rgbd = rng.random((1, 4, ROWS, COLS)).astype(np.float32)
+    f32 = _post(rgbd)
+
+    conn = http.client.HTTPConnection("127.0.0.1", PORT, timeout=120)
+    body = np.ascontiguousarray(rgbd, np.float32).tobytes()
+    conn.request("POST", "/poh", body=body,
+                 headers={"X-Batch": "1", "Content-Length": str(len(body)),
+                          "X-Quantize": "u16"})
+    resp = conn.getresponse()
+    data = resp.read()
+    assert resp.status == 200
+    shape = tuple(int(v) for v in resp.getheader("X-Shape").split(","))
+    scale = float(resp.getheader("X-Scale"))
+    q = np.frombuffer(data, np.uint16).reshape(shape)
+    assert len(data) == f32.nbytes // 2
+    recon = q.astype(np.float64) / 65536.0 * scale
+    want = np.mod(f32, 2 * np.pi)
+    # circular distance (wrap at 2pi)
+    d = np.abs(recon - want)
+    d = np.minimum(d, 2 * np.pi - d)
+    assert d.max() < 2 * np.pi / 65536 * 1.5

@@ -232,10 +232,29 @@ def make_handler(service: PohService):
                     b, 4, service.rows, service.cols
                 )
                 poh = service.submit(rgbd)
-                body = np.ascontiguousarray(poh, np.float32).tobytes()
+                # wire format: f32 (default) or phase-quantized u16/u8 —
+                # POH is a phase map, so k/2^bits * 2pi reconstructs it
+                # (u16 ~ 1e-4 rad error); halves/quarters the egress for
+                # bandwidth-bound links (SLM drivers rarely need f32 anyway)
+                quant = (self.headers.get("X-Quantize") or "f32").lower()
+                if quant in ("u8", "u16"):
+                    dt = np.uint8 if quant == "u8" else np.uint16
+                    levels = 256 if quant == "u8" else 65536
+                    wrapped = np.mod(poh, 2 * np.pi) / (2 * np.pi)
+                    q = np.minimum(
+                        np.round(wrapped * levels), levels - 1
+                    ).astype(dt)
+                    body = np.ascontiguousarray(q).tobytes()
+                elif quant == "f32":
+                    body = np.ascontiguousarray(poh, np.float32).tobytes()
+                else:
+                    raise ValueError(f"unknown X-Quantize {quant!r}")
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
                 self.send_header("X-Shape", ",".join(map(str, poh.shape)))
+                self.send_header("X-Quantize", quant)
+                if quant != "f32":
+                    self.send_header("X-Scale", "6.283185307179586")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
