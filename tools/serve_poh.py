@@ -17,7 +17,7 @@ API:
   POST /poh     body = raw f32 bytes of shape (B, 4, rows, cols);
                 headers: X-Batch: B.  Response: raw f32 POH bytes
                 (B, 3, rows, cols), X-Shape header.
-  GET  /healthz JSON: uptime, request/batch counters, mean device ms.
+  GET  /healthz JSON: uptime, request/batch counters, mean batch ms.
 
 Run:  python tools/serve_poh.py --model_path G.msgpack --rows 384 --cols 384
 Test: tests/test_serve.py drives it over HTTP on CPU.
@@ -57,7 +57,6 @@ class PohService:
             Generator,
             make_generator_plan,
         )
-        from learned_hologram_gan_tpu.train import checkpoint as ckpt_lib
         from flax import serialization
 
         self.rows, self.cols = rows, cols
@@ -102,7 +101,7 @@ class PohService:
         print(f"compiled buckets {self.buckets} at {rows}x{cols}")
 
         self._q: queue.Queue = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "device_ms_total": 0.0,
+        self.stats = {"requests": 0, "batches": 0, "batch_ms_total": 0.0,
                       "started": time.time()}
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -174,7 +173,7 @@ class PohService:
                         self._jnp.asarray(x))
         )[:b]
         self.stats["batches"] += 1
-        self.stats["device_ms_total"] += (time.perf_counter() - t0) * 1e3
+        self.stats["batch_ms_total"] += (time.perf_counter() - t0) * 1e3
         return out
 
     def _deliver(self, items, poh: np.ndarray):
@@ -204,7 +203,8 @@ def make_handler(service: PohService):
                 "uptime_s": round(time.time() - s["started"], 1),
                 "requests": s["requests"],
                 "batches": s["batches"],
-                "mean_device_ms": round(s["device_ms_total"] / batches, 2),
+                # wall time of one fused batch incl. host<->device transfer
+                "mean_batch_ms": round(s["batch_ms_total"] / batches, 2),
                 "rows": service.rows, "cols": service.cols,
                 "buckets": list(service.buckets),
             }).encode()
