@@ -175,12 +175,36 @@ def build_train_step(
     discriminator_lambda: float,
     remat: bool = False,
     spatial_mesh=None,
+    critic_batching: str = "pair",
 ) -> Callable[[TrainState, Batch, asm.PropagatorPlan, asm.PropagatorPlan], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted (state, batch, gen_plan, multi_plan) -> (state, metrics) step.
 
     ``remat=True`` checkpoints the generator+reconstruction forward: its
     padded spectral intermediates (the dominant residuals at 1080p/4K) are
     recomputed during the backward pass instead of being stored.
+
+    ``critic_batching`` restructures each critic iteration (round-2 verdict
+    item 3 — the ratio-5 critic loop dominated the step at ~64.5 ms/iter):
+
+      - "separate": the reference's literal structure — three critic applies
+        per iteration (real, fake, and the penalty's interpolates with their
+        own double backward; reference watermelon.py:244-261,458-477).
+      - "pair" (default): one apply on ``concat([real, fake])`` + the
+        separate penalty apply.  Same FLOPs as "separate", one fewer
+        dispatch, 2x the conv batch.  Measured on v5e at the config of
+        record: 2.42 -> 2.53 steps/s (+4.7%).  BN note: the critic's train-
+        mode statistics are computed over the joint 2B [real; fake] batch
+        instead of two sequential B batches — a documented deviation (the
+        reference's own BN-stats ordering inside the penalty already
+        deviates here, see gradient_penalty).
+      - "full": ONE apply on ``concat([real, fake, interp])``; the penalty's
+        inner gradient takes the interp slice of the output-sum, so real/
+        fake cost no extra apply.  Measured SLOWER on v5e (2.42 -> 1.88
+        steps/s): the joint apply drags the full 3B batch through the
+        penalty's double backward — XLA's cost model shows 23.7 vs 17.0
+        TFLOP/step — so the MXU-utilization gain (22.5% vs 20.9%) cannot
+        pay for the 40% FLOP increase.  Kept for the record + small-batch
+        regimes where the critic is dispatch-bound.
 
     ``spatial_mesh`` binds the spatially-sharded pencil-FFT mode to THIS
     step function at build time — the safe way to use it.  The ambient
@@ -189,6 +213,9 @@ def build_train_step(
     silently reuses the unsharded executable (jit does not key its cache on
     the context).  Passing the mesh here makes the binding unambiguous.
     """
+
+    if critic_batching not in ("separate", "pair", "full"):
+        raise ValueError(f"unknown critic_batching {critic_batching!r}")
 
     # one critic-apply for every site below: remat recomputes the critic
     # forward in the backward pass instead of storing activations
@@ -211,7 +238,8 @@ def build_train_step(
         # program on the CPU backend; explicit replication is also the
         # intended layout — each device computes the full critic on the
         # cropped window.  `_rep` is identity when no spatial mesh is set.
-        smesh = asm.get_spatial_mesh()
+        # explicit plan binding wins; ambient context covers legacy callers
+        smesh = gen_plan.spatial or asm.get_spatial_mesh()
         if smesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -257,25 +285,83 @@ def build_train_step(
 
             def d_step(carry, gp_key):
                 p_D, bs, opt = carry
+                b = target_amps_d.shape[0]
                 # Hoisted OUT of the value_and_grad region: see
                 # gradient_penalty's docstring on sharding-stable RNG.
-                gp_alpha = jax.random.uniform(
-                    gp_key, (target_amps_d.shape[0], 1, 1, 1)
-                )
+                gp_alpha = jax.random.uniform(gp_key, (b, 1, 1, 1))
 
-                def d_loss_fn(p, bs_in):
-                    real_v, bs1 = apply_d(p, bs_in, target_amps_d)
-                    fake_v, bs2 = apply_d(p, bs1, hat_amps_d)
-                    gp = gradient_penalty(
-                        discriminator, p, bs2, target_amps_d, hat_amps_d,
-                        remat=remat, alpha=gp_alpha,
+                if critic_batching == "separate":
+                    def d_loss_fn(p, bs_in):
+                        real_v, bs1 = apply_d(p, bs_in, target_amps_d)
+                        fake_v, bs2 = apply_d(p, bs1, hat_amps_d)
+                        gp = gradient_penalty(
+                            discriminator, p, bs2, target_amps_d, hat_amps_d,
+                            remat=remat, alpha=gp_alpha,
+                        )
+                        loss = (
+                            -jnp.mean(real_v)
+                            + jnp.mean(fake_v)
+                            + discriminator_lambda * gp
+                        )
+                        return loss, bs2
+
+                elif critic_batching == "pair":
+                    def d_loss_fn(p, bs_in):
+                        both_v, bs1 = apply_d(
+                            p, bs_in,
+                            jnp.concatenate([target_amps_d, hat_amps_d], axis=0),
+                        )
+                        gp = gradient_penalty(
+                            discriminator, p, bs1, target_amps_d, hat_amps_d,
+                            remat=remat, alpha=gp_alpha,
+                        )
+                        loss = (
+                            -jnp.mean(both_v[:b])
+                            + jnp.mean(both_v[b:])
+                            + discriminator_lambda * gp
+                        )
+                        return loss, bs1
+
+                elif critic_batching == "full":
+                    interp = (
+                        gp_alpha * target_amps_d + (1.0 - gp_alpha) * hat_amps_d
                     )
-                    loss = (
-                        -jnp.mean(real_v)
-                        + jnp.mean(fake_v)
-                        + discriminator_lambda * gp
-                    )
-                    return loss, bs2
+
+                    def d_loss_fn(p, bs_in):
+                        def interp_score_sum(x_interp):
+                            out, bs_new = apply_d(
+                                p, bs_in,
+                                jnp.concatenate(
+                                    [target_amps_d, hat_amps_d, x_interp],
+                                    axis=0,
+                                ),
+                            )
+                            # flatten patch scores per sample before slicing
+                            out = out.reshape(out.shape[0], -1)
+                            return (
+                                jnp.sum(out[2 * b:]),
+                                (out[:b], out[b:2 * b], bs_new),
+                            )
+
+                        if remat:
+                            interp_score_sum = jax.checkpoint(
+                                interp_score_sum
+                            )
+                        grads, (real_v, fake_v, bs_new) = jax.grad(
+                            interp_score_sum, has_aux=True
+                        )(interp)
+                        norms = jnp.sqrt(
+                            jnp.sum(
+                                grads.reshape(b, -1) ** 2, axis=1
+                            ) + 1e-12
+                        )
+                        gp = jnp.mean((norms - 1.0) ** 2)
+                        loss = (
+                            -jnp.mean(real_v)
+                            + jnp.mean(fake_v)
+                            + discriminator_lambda * gp
+                        )
+                        return loss, bs_new
 
                 (d_loss, bs), d_grads = jax.value_and_grad(
                     d_loss_fn, has_aux=True

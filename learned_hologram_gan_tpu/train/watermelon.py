@@ -73,6 +73,7 @@ class Watermelon:
         remat: bool = False,
         cache_h: bool = True,
         spatial_mesh=None,
+        critic_batching: str = "pair",
     ):
         # remat + cache_h=False are the single-chip high-resolution levers:
         # activation checkpointing through the UNet, and no cached transfer-
@@ -103,18 +104,26 @@ class Watermelon:
         self.disc_config = DiscriminatorConfig(feature_d=feature_d, dtype=dtype)
         self.spatial_mesh = spatial_mesh
         self.use_gan = use_gan
+        self.critic_batching = critic_batching
         self._loss_defaults = dict(
             phase_loss=phase_loss,
             perceptual=perceptual,
             perceptual_weights_path=perceptual_weights_path,
         )
 
-        # plans: fixed 1mm for the generator, distance stack for recon losses
+        # plans: fixed 1mm for the generator, distance stack for recon losses.
+        # A spatial mesh is bound INTO the plans (cache-key-safe, see
+        # asm.PropagatorPlan.with_spatial) — every jitted consumer (train/
+        # eval/infer) then keys its executable on the spatial mode instead of
+        # relying on the ambient asm.spatial_mesh context (round-2 VERDICT #5).
         self.gen_plan = make_generator_plan(self.gen_config, cache_h=cache_h)
         self.multi_plan = asm.make_plan(
             self.gen_config.optics(), distances=self.distance_stack,
             cache_h=cache_h,
         )
+        if spatial_mesh is not None:
+            self.gen_plan = self.gen_plan.with_spatial(spatial_mesh)
+            self.multi_plan = self.multi_plan.with_spatial(spatial_mesh)
 
         self.generator, self.discriminator = build_modules(
             self.gen_config, self.disc_config, use_gan
@@ -226,6 +235,7 @@ class Watermelon:
             self.generator, self.discriminator, self.tx_G, self.tx_D,
             loss_cfg, self.use_gan, discriminator_train_ratio, discriminator_lambda,
             remat=self.gen_config.remat, spatial_mesh=self.spatial_mesh,
+            critic_batching=self.critic_batching,
         )
         eval_step = build_eval_step(self.generator, self.discriminator, loss_cfg)
 
@@ -266,10 +276,11 @@ class Watermelon:
                 batch = tuple(jnp.asarray(x) for x in batch)
                 n_train += int(batch[0].shape[0])
 
-                with asm.spatial_mesh(self.spatial_mesh):
-                    self.state, metrics = train_step(
-                        self.state, batch, self.gen_plan, self.multi_plan
-                    )
+                # spatial mode rides in the plans (with_spatial above); no
+                # ambient context needed
+                self.state, metrics = train_step(
+                    self.state, batch, self.gen_plan, self.multi_plan
+                )
                 # Accumulate metrics one step behind: fetching the *previous*
                 # step's scalars (already computed) never blocks on the step
                 # just dispatched, so the device pipeline stays full — a
@@ -365,8 +376,7 @@ class Watermelon:
         n = 0
         for batch in self._epoch(data_loader_val):
             batch = tuple(jnp.asarray(x) for x in batch)
-            with asm.spatial_mesh(self.spatial_mesh):
-                metrics = eval_step(self.state, batch, self.gen_plan, self.multi_plan)
+            metrics = eval_step(self.state, batch, self.gen_plan, self.multi_plan)
             for k in acc:
                 acc[k] += float(metrics[k])
             n += 1
@@ -412,13 +422,13 @@ class Watermelon:
         from ..utils.plotting import save_rgb_image
 
         rgbd = jnp.asarray(visualization_RGBD_AP[0])[None]
-        # spatial ctx: in 4K spatial-sharding mode this eager propagation
-        # would otherwise materialize full padded planes on one device
-        with asm.spatial_mesh(self.spatial_mesh):
-            poh = self.infer_fn(
-                self.state.params_G, self.state.batch_stats_G, self.gen_plan, rgbd
-            )
-            amp_hat, phs_hat = asm.propagate_poh2ap_forward(self.gen_plan, poh)
+        # the plan carries the spatial binding: in 4K spatial-sharding mode
+        # this eager propagation runs the pencil FFT (no device ever holds a
+        # full padded plane) without any ambient context
+        poh = self.infer_fn(
+            self.state.params_G, self.state.batch_stats_G, self.gen_plan, rgbd
+        )
+        amp_hat, phs_hat = asm.propagate_poh2ap_forward(self.gen_plan, poh)
         both = tensor_normalizor_2d(jnp.concatenate([amp_hat, phs_hat], axis=0))
         save_rgb_image(np.asarray(both[0]), save_path_img, f"amp_hat in {tag}")
         save_rgb_image(np.asarray(both[1]), save_path_img, f"phs_hat in {tag}")
@@ -429,11 +439,10 @@ class Watermelon:
         """Inference: RGBD (B,4,H,W) -> POH (B,3,H,W) (reference generatePOH)."""
         if self.state is None:
             self._init_state(0, 1e-3, 1e-3)
-        with asm.spatial_mesh(self.spatial_mesh):
-            return self.infer_fn(
-                self.state.params_G, self.state.batch_stats_G, self.gen_plan,
-                jnp.asarray(rgbd),
-            )
+        return self.infer_fn(
+            self.state.params_G, self.state.batch_stats_G, self.gen_plan,
+            jnp.asarray(rgbd),
+        )
 
 
 # ---------------------------------------------------------------------------

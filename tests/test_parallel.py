@@ -54,7 +54,7 @@ def test_distance_sharded_propagation_matches_single_device():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
-def _n_step_losses(n_devices, batches, n_steps=3):
+def _n_step_losses(n_devices, batches, n_steps=3, critic_batching="separate"):
     """Run n_steps of the full GAN train step with the batch sharded over
     n_devices; return the loss trajectory + final G params.
 
@@ -87,6 +87,7 @@ def _n_step_losses(n_devices, batches, n_steps=3):
         trainer.generator, trainer.discriminator, tx, tx,
         LossConfig(perceptual="none"), use_gan=True,
         discriminator_train_ratio=2, discriminator_lambda=10.0,
+        critic_batching=critic_batching,
     )
     mesh = make_mesh(n_devices)
     state = replicate_state(state, mesh)
@@ -100,7 +101,23 @@ def _n_step_losses(n_devices, batches, n_steps=3):
     return losses, jax.device_get(state.params_G)
 
 
-def test_multidevice_training_equivalence():
+@pytest.mark.parametrize(
+    "critic_batching,loss_rtol,param_rtol,param_atol",
+    [
+        # "separate" pins the raw GSPMD collective math tightly.
+        ("separate", 2e-4, 5e-4, 5e-6),
+        # "full" (the most-batched critic restructure) is semantically
+        # identical under sharding — step-0 losses agree to ~1e-6 — but the
+        # WGAN-GP
+        # double backward through the joint-[real;fake;interp] BatchNorm
+        # amplifies f32 reduction-order noise across steps (measured: step-1
+        # G_loss drift ~1.4e-3 and ~8e-6 absolute drift on near-zero param
+        # elements of this tiny net), hence the looser bounds.
+        ("full", 5e-3, 5e-3, 2e-5),
+    ],
+)
+def test_multidevice_training_equivalence(critic_batching, loss_rtol, param_rtol,
+                                          param_atol):
     """N steps on the 8-device mesh == N steps on 1 device (same seed):
     proves the GSPMD gradient all-reduce and global BatchNorm statistics are
     numerically correct, not merely that one sharded step runs
@@ -114,16 +131,22 @@ def test_multidevice_training_equivalence():
         )
         for _ in range(3)
     ]
-    losses_1, params_1 = _n_step_losses(1, batches)
-    losses_8, params_8 = _n_step_losses(8, batches)
+    losses_1, params_1 = _n_step_losses(1, batches, critic_batching=critic_batching)
+    losses_8, params_8 = _n_step_losses(8, batches, critic_batching=critic_batching)
 
+    # step 0 must agree tightly in EVERY mode (pure collective math, no
+    # accumulated optimizer chaos yet)
+    for k in losses_1[0]:
+        np.testing.assert_allclose(losses_1[0][k], losses_8[0][k],
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"step-0 loss {k} diverged")
     for l1, l8 in zip(losses_1, losses_8):
         for k in l1:
-            np.testing.assert_allclose(l1[k], l8[k], rtol=2e-4, atol=2e-5,
+            np.testing.assert_allclose(l1[k], l8[k], rtol=loss_rtol, atol=2e-5,
                                        err_msg=f"loss {k} diverged")
     for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-4, atol=5e-6)
+                                   rtol=param_rtol, atol=param_atol)
 
 
 def test_hybrid_mesh_single_slice_and_two_slice():

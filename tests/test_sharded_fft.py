@@ -189,3 +189,63 @@ def test_watermelon_spatial_mesh_training_runs():
     )
     g = hist["train_losses_tensor"]["G_loss"][0]
     assert np.isfinite(g)
+
+
+def test_spatial_context_rekeys_jit_cache_no_silent_reuse():
+    """The round-2 footgun (VERDICT #5): a function compiled OUTSIDE
+    asm.spatial_mesh, then called INSIDE it, must not silently reuse the
+    unsharded executable.  The ambient context is resolved into the plan's
+    treedef at flatten time (asm._plan_flatten), so jit keys a different
+    cache entry per effective spatial mode — provoking the footgun now
+    yields a retrace into the sharded program with identical values."""
+    optics = OpticsConfig(rows=16, cols=16, pad_size=8,
+                          filter_radius_coefficient=0.45)
+    plan = asm.make_plan(optics, distances=[1e-3])
+    amp = jnp.asarray(RNG.random((1, 3, 16, 16)).astype(np.float32))
+    phs = jnp.asarray(RNG.random((1, 3, 16, 16)).astype(np.float32))
+
+    traces = []
+
+    @jax.jit
+    def f(p, a, b):
+        traces.append(1)  # trace-time side effect: counts (re)traces
+        return asm.propagate(p, a, b)
+
+    out_plain = np.asarray(f(plan, amp, phs))
+    assert len(traces) == 1
+    f(plan, amp, phs)
+    assert len(traces) == 1  # warm cache outside the context
+
+    mesh = make_mesh()
+    with asm.spatial_mesh(mesh):
+        out_sharded = np.asarray(f(plan, amp, phs))
+    assert len(traces) == 2, "stale unsharded executable was silently reused"
+    np.testing.assert_allclose(out_sharded, out_plain, atol=1e-4)
+
+    # leaving the context returns to the original cache entry (no retrace)
+    f(plan, amp, phs)
+    assert len(traces) == 2
+
+
+def test_plan_with_spatial_explicit_binding_matches_and_rekeys():
+    """plan.with_spatial(mesh): the explicit, ambient-free binding — values
+    match the unsharded program and the executable is cache-keyed by the
+    binding (a bound plan never collides with an unbound one)."""
+    optics = OpticsConfig(rows=16, cols=16, pad_size=8,
+                          filter_radius_coefficient=0.45)
+    plan = asm.make_plan(optics, distances=[1e-3])
+    amp = jnp.asarray(RNG.random((1, 3, 16, 16)).astype(np.float32))
+    phs = jnp.asarray(RNG.random((1, 3, 16, 16)).astype(np.float32))
+
+    traces = []
+
+    @jax.jit
+    def f(p, a, b):
+        traces.append(1)
+        return asm.propagate(p, a, b)
+
+    want = np.asarray(f(plan, amp, phs))
+    mesh = make_mesh()
+    got = np.asarray(f(plan.with_spatial(mesh), amp, phs))
+    assert len(traces) == 2
+    np.testing.assert_allclose(got, want, atol=1e-4)

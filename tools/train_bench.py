@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--rows", type=int, default=384)
     ap.add_argument("--cols", type=int, default=384)
     ap.add_argument("--distances", type=int, default=20)
+    ap.add_argument("--critic", default="pair",
+                    choices=["separate", "pair", "full"],
+                    help="critic_batching mode (see train/steps.py)")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +66,7 @@ def main():
         trainer.generator, trainer.discriminator, trainer.tx_G, trainer.tx_D,
         LossConfig(perceptual="none"), use_gan=True,
         discriminator_train_ratio=args.ratio, discriminator_lambda=10.0,
+        critic_batching=args.critic,
     )
     rng = np.random.default_rng(0)
     batch = tuple(
@@ -105,7 +109,8 @@ def main():
 
     result = {
         "config": f"{args.rows}x{args.cols} batch {args.batch} ratio "
-                  f"{args.ratio} D={args.distances} full WGAN-GP",
+                  f"{args.ratio} D={args.distances} full WGAN-GP "
+                  f"critic={args.critic}",
         "steps_per_sec": round(1.0 / median, 3),
         "steps_per_sec_best": round(1.0 / best, 3),
         "samples_per_sec": round(args.batch / median, 2),
