@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Post-training quality evaluation: focal-stack evidence + metric summary.
+
+Produces the round-3 "the system trains to hologram quality" artifacts
+(VERDICT r2, next-round item 1) from a finished training run:
+
+  curves_losses.png / curves_metrics.png   training trajectories (history.json)
+  sample{k}_focalstack.png                 input RGB | target-field recon |
+                                           trained-POH recon at 3 focal planes
+  summary.json                             val-set PSNR/SSIM over the full
+                                           20-plane stack + per-plane PSNR
+
+Reconstruction semantics match training exactly (watermelon steps 2-4,
+reference watermelon.py:216-234): POH -> forward ASM to the image plane ->
+filtered spectrum -> propagate to each stack distance; the target field takes
+the filter_AP2filteredFreq path.  PSNR/SSIM therefore grade the same quantity
+the trainer optimized.
+
+    python tools/eval_quality.py --data data/synth384 --run_dir output/quality_run/full
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="data/synth384")
+    ap.add_argument("--run_dir", required=True,
+                    help="training output dir containing G.msgpack + history.json")
+    ap.add_argument("--out", default=None, help="default: <run_dir>/eval")
+    ap.add_argument("--rows", type=int, default=384)
+    ap.add_argument("--cols", type=int, default=384)
+    ap.add_argument("--pad_size", type=int, default=320)
+    ap.add_argument("--filter_radius_coefficient", type=float, default=0.45)
+    ap.add_argument("--val_num", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--samples", type=int, nargs="*", default=[0, 1, 2],
+                    help="val indices for the focal-stack grids")
+    args = ap.parse_args()
+    out_dir = args.out or os.path.join(args.run_dir, "eval")
+    os.makedirs(out_dir, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+
+    from learned_hologram_gan_tpu.config import OpticsConfig
+    from learned_hologram_gan_tpu.data import ImgDepthAmpPhsDataset
+    from learned_hologram_gan_tpu.losses import psnr, ssim
+    from learned_hologram_gan_tpu.ops import asm
+    from learned_hologram_gan_tpu.train import Watermelon
+    from learned_hologram_gan_tpu.utils.plotting import training_process_visualizer
+
+    h, w = args.rows, args.cols
+    val = ImgDepthAmpPhsDataset(
+        img_path=os.path.join(args.data, "val", "img.bin"),
+        depth_path=os.path.join(args.data, "val", "depth.bin"),
+        amp_path=os.path.join(args.data, "val", "amp.bin"),
+        phs_path=os.path.join(args.data, "val", "phs.bin"),
+        samples_num=args.val_num, height=h, width=w,
+    )
+
+    g_path = os.path.join(args.run_dir, "G.msgpack")
+    trainer = Watermelon(
+        filter_radius_coefficient=args.filter_radius_coefficient,
+        pad_size=args.pad_size,
+        distance_stack=np.linspace(-4e-4, 0.0, 21)[:-1],
+        pretrained_model_path_G=g_path,
+        input_shape=(args.batch, 4, h, w),
+        use_gan=False, perceptual="none", dtype=args.dtype,
+    )
+    trainer._init_state(seed=0, lr_G=1e-3, lr_D=1e-3)
+
+    # ---- jitted recon pipeline (plans as ARGS — complex leaves must never
+    # constant-fold on the axon relay) ----
+    @jax.jit
+    def recon_all(params_G, bs_G, gen_plan, multi_plan, rgbd, amp, phs):
+        poh = trainer.generator.apply(
+            {"params": params_G, "batch_stats": bs_G}, gen_plan, rgbd, train=False
+        )
+        hat_freq = asm.propagate_poh2freq_forward(gen_plan, poh)
+        tgt_freq = asm.filter_ap2filtered_freq(multi_plan, amp, phs)
+        both = jnp.concatenate([hat_freq, tgt_freq], axis=0)
+        amps, _ = asm.freq2ap_all_distances(multi_plan, both)
+        b = rgbd.shape[0]
+        return amps[:b], amps[b:]  # (B, D, 3, H, W) each
+
+    # ---- full-val metric sweep ----
+    num_d = trainer.multi_plan.num_distances
+    per_plane_psnr = np.zeros(num_d)
+    tot_psnr = tot_ssim = 0.0
+    n_batches = 0
+    for start in range(0, args.val_num, args.batch):
+        idx = range(start, min(start + args.batch, args.val_num))
+        rgbd, amp, phs = (np.stack(x) for x in zip(*[val.get(i) for i in idx]))
+        hat, tgt = recon_all(
+            trainer.state.params_G, trainer.state.batch_stats_G,
+            trainer.gen_plan, trainer.multi_plan,
+            jnp.asarray(rgbd), jnp.asarray(amp), jnp.asarray(phs),
+        )
+        tot_psnr += float(psnr(hat, tgt))
+        tot_ssim += float(ssim(
+            hat.reshape(-1, *hat.shape[2:]), tgt.reshape(-1, *tgt.shape[2:])
+        ))
+        for d in range(num_d):
+            per_plane_psnr[d] += float(psnr(hat[:, d], tgt[:, d]))
+        n_batches += 1
+        print(f"metrics {start + len(list(idx))}/{args.val_num}", flush=True)
+    summary = {
+        "run_dir": args.run_dir,
+        "val_PSNR": tot_psnr / n_batches,
+        "val_SSIM": tot_ssim / n_batches,
+        "per_plane_PSNR": (per_plane_psnr / n_batches).round(3).tolist(),
+        "distances_m": np.asarray(trainer.multi_plan.distances).tolist(),
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: summary[k] for k in ("val_PSNR", "val_SSIM")}))
+
+    # ---- focal-stack grids for a few samples ----
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    zs_idx = [0, num_d // 2, num_d - 1]  # far / middle / near planes
+    dists = np.asarray(trainer.multi_plan.distances)
+    for k in args.samples:
+        rgbd, amp, phs = val.get(k)
+        hat, tgt = recon_all(
+            trainer.state.params_G, trainer.state.batch_stats_G,
+            trainer.gen_plan, trainer.multi_plan,
+            jnp.asarray(rgbd)[None], jnp.asarray(amp)[None], jnp.asarray(phs)[None],
+        )
+        hat = np.asarray(hat[0], np.float32)  # (D,3,H,W)
+        tgt = np.asarray(tgt[0], np.float32)
+        scale = max(tgt.max(), 1e-6)
+        fig, axes = plt.subplots(2, 1 + len(zs_idx), figsize=(4 * (1 + len(zs_idx)), 8))
+        axes[0, 0].imshow(np.clip(rgbd[:3].transpose(1, 2, 0), 0, 1))
+        axes[0, 0].set_title("input RGB")
+        axes[1, 0].imshow(rgbd[3], cmap="viridis")
+        axes[1, 0].set_title("input depth")
+        for j, d in enumerate(zs_idx):
+            axes[0, j + 1].imshow(np.clip(tgt[d].transpose(1, 2, 0) / scale, 0, 1))
+            axes[0, j + 1].set_title(f"target recon z={dists[d]*1e3:.2f} mm")
+            axes[1, j + 1].imshow(np.clip(hat[d].transpose(1, 2, 0) / scale, 0, 1))
+            axes[1, j + 1].set_title(f"POH recon z={dists[d]*1e3:.2f} mm")
+        for ax in axes.ravel():
+            ax.axis("off")
+        fig.tight_layout()
+        path = os.path.join(out_dir, f"sample{k}_focalstack.png")
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        print(f"saved {path}")
+
+    # ---- training curves ----
+    hist_path = os.path.join(args.run_dir, "history.json")
+    if not os.path.exists(hist_path):
+        alt = os.path.join(args.run_dir, "resume", "history.json")
+        hist_path = alt if os.path.exists(alt) else hist_path
+    if os.path.exists(hist_path):
+        training_process_visualizer(
+            [hist_path],
+            ["validate_metrics_tensor/PSNR", "train_metrics_tensor/PSNR"],
+            os.path.join(out_dir, "curves_psnr.png"),
+            labels=["run"],
+        )
+        training_process_visualizer(
+            [hist_path],
+            ["validate_losses_tensor/G_loss", "validate_losses_tensor/pixel_loss",
+             "validate_losses_tensor/focal_phase_gradient_loss"],
+            os.path.join(out_dir, "curves_losses.png"),
+            labels=["run"],
+        )
+        print("saved curves")
+
+
+if __name__ == "__main__":
+    main()
