@@ -734,6 +734,29 @@ def freq2ap_all_distances(
     return jnp.abs(gz), _angle(gz)
 
 
+def freq2amp_at(
+    plan: PropagatorPlan, g0: jnp.ndarray, distances: jnp.ndarray
+) -> jnp.ndarray:
+    """Spectrum -> amplitude at *arbitrary* distances, H computed on the fly.
+
+    Serving-oriented generalization of :func:`freq2ap_all_distances`
+    (reference multiDistancePropagator.forward_from_filtered_frequency,
+    angular_spectrum_method.py:524-531, which is pinned to the cached
+    stack): ``distances`` is a traced (D,) argument, so one compiled
+    executable reconstructs a focal stack at ANY requested depths — the
+    distance *values* never trigger an XLA recompile, only the count D
+    does.  Returns (B, D, C, rows, cols) amplitude.
+    """
+    distances = jnp.atleast_1d(jnp.asarray(distances, jnp.float32))
+    if _fused_ok(plan):
+        out = _fused_apply(plan, g0, distances, from_spectrum=True)
+        return jnp.abs(out)
+    gz = g0[:, None] * (transfer_function(plan, distances) * plan.mask)[None]
+    b, d = gz.shape[0], gz.shape[1]
+    gz = crop(plan, _ifft2(gz.reshape(b * d, *gz.shape[2:]), plan))
+    return jnp.abs(gz).reshape(b, d, *gz.shape[1:])
+
+
 def freq2ap_random_distances(
     plan: PropagatorPlan, g0: jnp.ndarray, key: jax.Array
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

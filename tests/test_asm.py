@@ -180,6 +180,28 @@ def test_freq2ap_all_distances_layout():
     np.testing.assert_allclose(np.asarray(amp[3]), np.abs(np.asarray(gz)), atol=1e-5)
 
 
+def test_freq2amp_at_matches_cached_stack_and_is_retrace_free():
+    """Arbitrary-distance amp recon == the cached-stack primitive; the
+    distance VALUES are traced (one executable serves any depth sweep)."""
+    optics = small_optics(pad=0)
+    ds = np.linspace(-4e-4, 0.0, 5)[:-1]
+    plan = asm.make_plan(optics, distances=ds)
+    g0 = jnp.asarray(
+        (RNG.random((2, 3, 32, 32)) + 1j * RNG.random((2, 3, 32, 32))
+         ).astype(np.complex64))
+    want, _ = asm.freq2ap_all_distances(plan, g0)
+    got = asm.freq2amp_at(plan, g0, jnp.asarray(ds, jnp.float32))
+    assert got.shape == (2, 4, 3, 32, 32)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(8, 3, 32, 32), np.asarray(want), atol=1e-5)
+
+    fn = jax.jit(asm.freq2amp_at)
+    a = fn(plan, g0, jnp.asarray([1e-4, 2e-4], jnp.float32))
+    b = fn(plan, g0, jnp.asarray([3e-4, -1e-4], jnp.float32))
+    assert a.shape == b.shape == (2, 2, 3, 32, 32)
+    assert fn._cache_size() == 1  # same D => same executable
+
+
 def test_freq2ap_random_distances_pairs_hat_with_target():
     optics = small_optics(pad=0)
     ds = np.linspace(-4e-4, 0.0, 9)[:-1]

@@ -102,6 +102,51 @@ def test_bad_request_is_a_400(server):
     assert b"expected" in resp.read()
 
 
+def test_focal_stack_endpoint(server):
+    """POST /focal_stack: POH -> amplitude stack at client-chosen depths,
+    checked against an in-process `asm.freq2amp_at` oracle with the same
+    generator plan."""
+    rng = np.random.default_rng(5)
+    rgbd = rng.random((1, 4, ROWS, COLS)).astype(np.float32)
+    poh = _post(rgbd)
+
+    dists = [-5e-4, 0.0, 5e-4]
+    conn = http.client.HTTPConnection("127.0.0.1", PORT, timeout=120)
+    body = np.ascontiguousarray(poh, np.float32).tobytes()
+    conn.request("POST", "/focal_stack", body=body,
+                 headers={"X-Batch": "1", "Content-Length": str(len(body)),
+                          "X-Distances": ",".join(map(str, dists))})
+    resp = conn.getresponse()
+    data = resp.read()
+    assert resp.status == 200, data.decode()
+    shape = tuple(int(v) for v in resp.getheader("X-Shape").split(","))
+    amp = np.frombuffer(data, np.float32).reshape(shape)
+    assert amp.shape == (1, 3, 3, ROWS, COLS)
+    assert np.isfinite(amp).all() and amp.max() > 0
+
+    # in-process oracle with the identical plan config
+    import jax.numpy as jnp
+
+    from learned_hologram_gan_tpu.config import GeneratorConfig
+    from learned_hologram_gan_tpu.models import make_generator_plan
+    from learned_hologram_gan_tpu.ops import asm
+
+    plan = make_generator_plan(GeneratorConfig(
+        rows=ROWS, cols=COLS, pad_size=4, filter_radius_coefficient=0.45,
+        unet_base_features=2))
+    freq = asm.propagate_poh2freq_forward(plan, jnp.asarray(poh))
+    want = asm.freq2amp_at(plan, freq, jnp.asarray(dists, jnp.float32))
+    np.testing.assert_allclose(amp, np.asarray(want), atol=1e-4)
+
+    # missing X-Distances is a clean 400
+    conn = http.client.HTTPConnection("127.0.0.1", PORT, timeout=60)
+    conn.request("POST", "/focal_stack", body=body,
+                 headers={"X-Batch": "1", "Content-Length": str(len(body))})
+    resp = conn.getresponse()
+    assert resp.status == 400
+    assert b"X-Distances" in resp.read()
+
+
 def test_quantized_wire_format(server):
     """X-Quantize: u16 returns phase quantized to 2pi/65536 — reconstruct
     and compare against the f32 response mod 2pi."""

@@ -17,6 +17,15 @@ API:
   POST /poh     body = raw f32 bytes of shape (B, 4, rows, cols);
                 headers: X-Batch: B.  Response: raw f32 POH bytes
                 (B, 3, rows, cols), X-Shape header.
+  POST /focal_stack  body = raw f32 POH bytes (B, 3, rows, cols);
+                headers: X-Batch: B, X-Distances: comma-separated relative
+                depths in meters (applied to the image-plane spectrum, same
+                semantics as the reference's multi-distance reconstruction,
+                watermelon.py:216-234).  Response: raw f32 amplitude bytes
+                (B, D, 3, rows, cols), X-Shape header.  Distance VALUES are
+                a traced argument (`asm.freq2amp_at`) — only the distance
+                COUNT picks a compiled bucket, so sweeping focus never
+                recompiles.
   GET  /healthz JSON: uptime, request/batch counters, mean batch ms.
 
 Run:  python tools/serve_poh.py --model_path G.msgpack --rows 384 --cols 384
@@ -94,11 +103,29 @@ class PohService:
         self._infer = infer
         self._jnp = jnp
 
+        from learned_hologram_gan_tpu.ops import asm
+
+        @jax.jit
+        def stack(plan, poh, dists):
+            freq = asm.propagate_poh2freq_forward(plan, poh)
+            return asm.freq2amp_at(plan, freq, dists)
+
+        self._stack = stack
+        # Focal-stack D buckets: requests pad their distance list up to the
+        # nearest bucket (repeating the last depth) and slice the reply, so
+        # only len-bucket changes compile.  (1, D) per D bucket is warmed at
+        # startup; other (batch, D) combos compile on first use — logged.
+        self.stack_buckets = (1, 3, 8, 21)
+
         # warmup: compile every bucket up front so traffic never compiles
         for b in self.buckets:
             x = jnp.zeros((b, 4, rows, cols), jnp.float32)
             np.asarray(infer(params, batch_stats, self.plan, x))
-        print(f"compiled buckets {self.buckets} at {rows}x{cols}")
+        for d in self.stack_buckets:
+            poh = jnp.zeros((1, 3, rows, cols), jnp.float32)
+            np.asarray(stack(self.plan, poh, jnp.zeros((d,), jnp.float32)))
+        print(f"compiled buckets {self.buckets} at {rows}x{cols} "
+              f"(+focal-stack D buckets {self.stack_buckets})")
 
         self._q: queue.Queue = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "batch_ms_total": 0.0,
@@ -176,6 +203,35 @@ class PohService:
         self.stats["batch_ms_total"] += (time.perf_counter() - t0) * 1e3
         return out
 
+    # -- focal-stack reconstruction ---------------------------------------
+    def focal_stack(self, poh: np.ndarray, distances) -> np.ndarray:
+        """POH (B,3,R,C) + depths (D,) -> amplitude focal stack (B,D,3,R,C).
+
+        Unlike /poh, requests are not cross-fused (each carries its own
+        depth list); batch and depth-count are padded to buckets so the
+        compile cache stays tiny.
+        """
+        b, d = poh.shape[0], len(distances)
+        bb = self._bucket_for(b)
+        db = next((s for s in self.stack_buckets if d <= s),
+                  self.stack_buckets[-1])
+        if d > db:
+            raise ValueError(
+                f"at most {db} distances per request (got {d})")
+        dv = np.asarray(
+            list(distances) + [distances[-1]] * (db - d), np.float32)
+        if b < bb:
+            poh = np.concatenate(
+                [poh, np.repeat(poh[-1:], bb - b, axis=0)], 0)
+        t0 = time.perf_counter()
+        amp = np.asarray(self._stack(
+            self.plan, self._jnp.asarray(poh), self._jnp.asarray(dv)
+        ))[:b, :d]
+        self.stats["batches"] += 1
+        self.stats["batch_ms_total"] += (time.perf_counter() - t0) * 1e3
+        self.stats["requests"] += 1
+        return amp
+
     def _deliver(self, items, poh: np.ndarray):
         lo = 0
         for arr, slot, done in items:
@@ -215,6 +271,9 @@ def make_handler(service: PohService):
             self.wfile.write(body)
 
         def do_POST(self):
+            if self.path == "/focal_stack":
+                self._do_focal_stack()
+                return
             if self.path != "/poh":
                 self.send_error(404)
                 return
@@ -255,6 +314,42 @@ def make_handler(service: PohService):
                 self.send_header("X-Quantize", quant)
                 if quant != "f32":
                     self.send_header("X-Scale", "6.283185307179586")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:
+                msg = f"{type(e).__name__}: {e}".encode()
+                self.send_response(400)
+                self.send_header("Content-Length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
+
+        def _do_focal_stack(self):
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                b = int(self.headers.get("X-Batch", "1"))
+                dists_hdr = self.headers.get("X-Distances", "")
+                if not dists_hdr:
+                    raise ValueError(
+                        "X-Distances header required: comma-separated "
+                        "depths in meters, e.g. '-0.005,0,0.005'"
+                    )
+                dists = [float(t) for t in dists_hdr.split(",") if t.strip()]
+                raw = self.rfile.read(n)
+                expect = b * 3 * service.rows * service.cols * 4
+                if n != expect:
+                    raise ValueError(
+                        f"body is {n} bytes, expected {expect} for "
+                        f"({b},3,{service.rows},{service.cols}) f32 POH"
+                    )
+                poh = np.frombuffer(raw, np.float32).reshape(
+                    b, 3, service.rows, service.cols
+                )
+                amp = service.focal_stack(poh, dists)
+                body = np.ascontiguousarray(amp, np.float32).tobytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("X-Shape", ",".join(map(str, amp.shape)))
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
