@@ -65,6 +65,7 @@ def test_channelwise_symmetric_conv_independent_channels():
     np.testing.assert_allclose(np.asarray(y[..., :2]), np.asarray(y2[..., :2]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_unet_shape_preserving_and_sigmoid_range():
     m = blocks.UNet(output_channels=6, base_features=4, levels=4)
     x = jnp.ones((1, 32, 32, 4))

@@ -53,6 +53,7 @@ def test_exr2bin_cli(tmp_path):
     assert "channelsNum parameter is missing" in r2.stdout
 
 
+@pytest.mark.slow
 def test_generate_poh_cli(tmp_path):
     paths = _write_bins(tmp_path, n=3, c=3, h=32, w=32, names=("img", "depth"))
     poh_out = str(tmp_path / "poh.npy")
@@ -119,6 +120,7 @@ def test_warming_up_aperture_example():
     assert "all assertions passed" in r.stdout
 
 
+@pytest.mark.slow
 def test_warming_up_resnet_example():
     r = run_cli(["examples/warming_up_resnet.py", "--cpu", "--steps", "60"])
     assert r.returncode == 0, r.stderr[-2000:]

@@ -116,6 +116,7 @@ def _n_step_losses(n_devices, batches, n_steps=3, critic_batching="separate"):
         ("full", 5e-3, 5e-3, 2e-5),
     ],
 )
+@pytest.mark.slow
 def test_multidevice_training_equivalence(critic_batching, loss_rtol, param_rtol,
                                           param_atol):
     """N steps on the 8-device mesh == N steps on 1 device (same seed):
@@ -187,6 +188,7 @@ def test_prune_checkpoints_keep_zero_deletes_all(tmp_path):
         ckpt_lib.prune_checkpoints(str(tmp_path), keep=-1)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_full_train_step():
     """The driver's multi-chip dry run: full GAN step on the 8-device mesh."""
     import importlib.util

@@ -51,6 +51,7 @@ def test_on_the_fly_h_matches_cached_everywhere():
     np.testing.assert_allclose(c1, c2, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_remat_generator_same_output_and_grads():
     cfg = dict(rows=16, cols=16, pad_size=4, filter_radius_coefficient=0.45,
                unet_base_features=2, distance=1e-3)
@@ -100,6 +101,7 @@ def test_good_fft_pads_are_smooth_and_sufficient():
     assert o.padded_rows == 2176 + 2 * pr and o.padded_cols == 3840 + 2 * pc
 
 
+@pytest.mark.slow
 def test_watermelon_highres_levers_wiring():
     """remat + cache_h=False must flow from the trainer constructor into the
     generator config and both plans, and one GAN step must run (the CPU-

@@ -10,6 +10,10 @@ import time
 import numpy as np
 import pytest
 
+# the module fixture compiles the full serving generator (~2 min on the CPU
+# test mesh) — slow tier (run with: pytest -m "slow or not slow")
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PORT = 8791
 ROWS = COLS = 16

@@ -103,6 +103,7 @@ def test_spatial_mesh_context_gradients_match():
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_spatial_mesh_train_step_matches_unsharded():
     """One full WGAN-GP train step traced under asm.spatial_mesh produces the
     same losses/params as the unsharded step — 4K training's sharding mode
@@ -165,6 +166,7 @@ def test_spatial_mesh_train_step_matches_unsharded():
     assert diff.max() < 5e-3, f"max param delta {diff.max():.2e}" 
 
 
+@pytest.mark.slow
 def test_watermelon_spatial_mesh_training_runs():
     """Trainer-level wiring: Watermelon(spatial_mesh=mesh) must run a full
     train epoch (train step + padded-validation eval step) with every

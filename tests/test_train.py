@@ -75,6 +75,7 @@ def test_gan_training_runs_and_records_history(tmp_path):
     assert os.path.exists(tmp_path / "D.msgpack")
 
 
+@pytest.mark.slow
 def test_without_gan_matches_reference_overrides(tmp_path):
     trainer = watermelon_without_GAN(
         filter_radius_coefficient=0.45, pad_size=4,
@@ -154,6 +155,7 @@ def test_orbax_async_save_then_wait_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_determinism_same_seed_same_step():
     """Functional PRNG threading: same seed => bitwise-identical step output."""
     batch = synthetic_batches(1)[0]
@@ -170,6 +172,7 @@ def test_determinism_same_seed_same_step():
     assert results[0] == results[1]
 
 
+@pytest.mark.slow
 def test_gan_training_with_vgg_perceptual_path():
     """The VGG perceptual branch must run inside the jitted step
     (explicit random-weight opt-in; 5 taps down to 1x1 at 16x16 input)."""
@@ -191,6 +194,7 @@ def test_vgg19_without_weights_is_a_loud_error():
         tiny_trainer(use_gan=False, perceptual="vgg19")
 
 
+@pytest.mark.slow
 def test_resume_kill_restart(tmp_path):
     """Kill-and-restart with resume_dir must be bitwise-equal to an
     uninterrupted run: full state (params, opt states, RNG key, step) is
@@ -243,6 +247,7 @@ def test_resume_kill_restart(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_validation_ragged_batches_bounded_compiles_exact_metrics(tmp_path):
     """A short final val batch compiles at most once more (shape-cached, NOT
     once per epoch — round-1 verdict item #10) and its metrics are EXACT:
@@ -294,6 +299,7 @@ def test_validation_ragged_batches_bounded_compiles_exact_metrics(tmp_path):
     ("watermelon_without_GAN_and_phase_sincos_gradient_loss",
      dict(use_gan=False, phase_loss="sincos_gradient")),
 ])
+@pytest.mark.slow
 def test_ablation_factories_train_one_step(factory_name, expect):
     """Each of the reference's 7 trainer variants (watermelon.py:640-938 +
     the base class) must construct with its override and run one step with a

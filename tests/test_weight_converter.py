@@ -76,6 +76,7 @@ def make_reference_generator_state_dict():
     return sd
 
 
+@pytest.mark.slow
 def test_generator_conversion_loads_strictly_and_runs():
     sd = make_reference_generator_state_dict()
     # distinctive values for placement checks
