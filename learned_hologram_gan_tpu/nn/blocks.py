@@ -148,6 +148,49 @@ class FakeChannelWiseSymmetricConv(nn.Module):
         return x
 
 
+class PixelShuffleConvTranspose(nn.Module):
+    """2x2/stride-2 transposed conv computed as one GEMM + pixel shuffle.
+
+    Mathematically identical to ``nn.ConvTranspose(features, (2, 2),
+    strides=(2, 2))``: with kernel == stride each output pixel receives
+    exactly one tap, so ``out[n, 2i+di, 2j+dj, co] = sum_ci x[n, i, j, ci]
+    * kernel[1-di, 1-dj, ci, co] + bias[co]`` (``lax.conv_transpose``
+    spatially flips the kernel; verified by delta-input probe).  XLA lowers ``ConvTranspose`` to
+    an input-dilated convolution, which the TPU conv emitter handles poorly
+    (measured 3-10x above the bandwidth roofline at the UNet's decoder
+    sizes, tools/profile_unet.py); a plain (N*H*W, Cin) x (Cin, 4*Cout)
+    GEMM feeds the MXU directly and the shuffle is a reshape/transpose the
+    compiler fuses.  Parameter names/shapes match ``nn.ConvTranspose``
+    (``kernel`` HWIO (2, 2, Cin, Cout), ``bias`` (Cout,)) so checkpoints
+    interchange (tools/convert_reference_weights.py pins this layout).
+
+    Reference op being reproduced: torch ``nn.ConvTranspose2d(.., 2,
+    stride=2)``, neural_network_components.py:252-257,274-289.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, cin = x.shape
+        kernel = self.param(
+            "kernel", conv_transpose_init, (2, 2, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # flip spatial taps, then (2, 2, Cin, Cout) -> (Cin, 2, 2, Cout)
+        # -> (Cin, 4*Cout)
+        wmat = jnp.transpose(kernel[::-1, ::-1], (2, 0, 1, 3)).reshape(
+            cin, 4 * self.features
+        )
+        y = jnp.dot(x.astype(self.dtype), wmat.astype(self.dtype))
+        y = y.reshape(n, h, w, 2, 2, self.features)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+            n, 2 * h, 2 * w, self.features
+        )
+        return y + bias.astype(self.dtype)
+
+
 class _ResNetBase(nn.Module):
     """Shared stride-1 ResNet trunk (reference miniResNet/ResNet)."""
 
@@ -271,14 +314,15 @@ class UNet(nn.Module):
             y = self._block(self.base_features * (2**i), f"enc_{i}")(y, train)
             skips.append(y)
             y = nn.max_pool(y, (2, 2), strides=(2, 2))
-        # Bottleneck + first up-conv.
+        # Bottleneck + first up-conv.  Up-convs use the GEMM+pixel-shuffle
+        # form of the same 2x2/stride-2 transposed conv (see
+        # PixelShuffleConvTranspose); explicit names keep the param tree
+        # identical to the original nn.ConvTranspose auto-naming.
         y = self._block(self.base_features * (2**self.levels), "bottleneck")(y, train)
-        y = nn.ConvTranspose(
+        y = PixelShuffleConvTranspose(
             self.base_features * (2 ** (self.levels - 1)),
-            (2, 2),
-            strides=(2, 2),
-            kernel_init=conv_transpose_init,
             dtype=self.dtype,
+            name="ConvTranspose_0",
         )(y)
         # Decoder: concat skip (doubling channels), block back down to
         # base * 2^i, up-conv to base * 2^(i-1) (reference :274-289: decoder1
@@ -287,12 +331,10 @@ class UNet(nn.Module):
             y = jnp.concatenate([skips[i], y], axis=-1)
             y = self._block(self.base_features * (2**i), f"dec_{i}")(y, train)
             if i > 0:
-                y = nn.ConvTranspose(
+                y = PixelShuffleConvTranspose(
                     self.base_features * (2 ** (i - 1)),
-                    (2, 2),
-                    strides=(2, 2),
-                    kernel_init=conv_transpose_init,
                     dtype=self.dtype,
+                    name=f"ConvTranspose_{self.levels - i}",
                 )(y)
         y = _conv(self.output_channels, 1, 1, self.dtype)(y)
         return nn.sigmoid(y)

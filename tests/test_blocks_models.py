@@ -193,3 +193,37 @@ def test_propagate_p2i_is_squared_magnitude():
     amp = asm_mod.propagate(plan, jnp.ones_like(phs), phs)
     np.testing.assert_allclose(np.asarray(intensity), np.asarray(amp) ** 2,
                                atol=1e-5)
+
+
+def test_pixel_shuffle_conv_transpose_equals_flax_convtranspose():
+    """GEMM+pixel-shuffle up-conv is bit-equivalent (f32) to nn.ConvTranspose.
+
+    With kernel == stride == 2 every output pixel receives exactly one tap,
+    so the two formulations compute the same sum; the param tree must also
+    match so reference-converted checkpoints load into either
+    (tools/convert_reference_weights.py pins kernel HWIO + bias).
+    """
+    from flax import linen as nn
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 6, 5, 8)), jnp.float32)
+    fast = blocks.PixelShuffleConvTranspose(4)
+    ref = nn.ConvTranspose(4, (2, 2), strides=(2, 2))
+    v = fast.init(jax.random.key(0), x)
+    assert set(v["params"].keys()) == {"kernel", "bias"}
+    assert v["params"]["kernel"].shape == (2, 2, 8, 4)
+    assert v["params"]["bias"].shape == (4,)
+    out_fast = fast.apply(v, x)
+    out_ref = ref.apply(v, x)  # identical param tree loads directly
+    assert out_fast.shape == (2, 12, 10, 4)
+    np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_unet_param_tree_unchanged_by_pixel_shuffle_upconv():
+    """UNet still exposes ConvTranspose_{0..3} with the pinned HWIO shapes."""
+    net = blocks.UNet(output_channels=6, base_features=8)
+    v = net.init(jax.random.key(0), jnp.zeros((1, 32, 32, 4)), True)
+    p = v["params"]
+    for j, cin, cout in [(0, 128, 64), (1, 64, 32), (2, 32, 16), (3, 16, 8)]:
+        k = p[f"ConvTranspose_{j}"]["kernel"]
+        assert k.shape == (2, 2, cin, cout), (j, k.shape)
