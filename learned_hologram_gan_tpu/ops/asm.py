@@ -433,6 +433,7 @@ def _fused_apply(
     from_spectrum: bool = False,
     per_plane: bool = False,
     use_mask: bool = True,
+    mask_override: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run the fused pipeline on (B, C, ...) complex planes.
 
@@ -462,7 +463,10 @@ def _fused_apply(
     else:
         dvec = jnp.asarray(distances, jnp.float32).reshape(-1, 1)
         num_d = int(dvec.shape[0])
-    mask = plan.mask if use_mask else None
+    if mask_override is not None:
+        mask = mask_override
+    else:
+        mask = plan.mask if use_mask else None
     crop = (plan.pad_rows, plan.rows, plan.pad_cols, plan.cols)
     cfg = (
         float(plan.pixel_pitch), bool(conj_h), bool(from_spectrum),
@@ -793,3 +797,85 @@ def freq2ap_random_distances(
     gz = g0.reshape(2, b, *g0.shape[1:]) * h[None]
     gz = crop(plan, _ifft2(gz.reshape(2 * b, *g0.shape[1:]), plan))
     return jnp.abs(gz), _angle(gz)
+
+
+def hat_target_random_distances(
+    gen_plan: PropagatorPlan,
+    multi_plan: PropagatorPlan,
+    poh: jnp.ndarray,
+    target_amp: jnp.ndarray,
+    target_phs: jnp.ndarray,
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-H fused hat/target random-distance reconstruction.
+
+    Semantically the composition of :func:`propagate_poh2freq_forward` +
+    :func:`filter_ap2filtered_freq` + concat + :func:`freq2ap_random_distances`
+    (reference angular_spectrum_method.py:386-392, :548-552, :533-546), but
+    the hat branch folds the fixed SLM->image H and the per-sample focal H
+    into ONE transfer function via H(z1)*H(z2) == H(z1+z2) on the shared
+    w-grid, so neither branch ever materializes a padded-size spectrum in HBM
+    and the (2B, C, Rp, Cp) concat copy disappears.  Under the fused Pallas
+    backend both branches run as single from-field propagations (pad never
+    materialized, only the crop window written).
+
+    Mask accounting matches the composed path exactly: hat gets
+    ``gen.mask * multi.mask`` (one factor from each call), target gets
+    ``multi.mask ** 2`` (filter + reconstruction).
+
+    Numerics: combining the distances re-rounds the transfer-function phase
+    (2*pi*z*w is O(1e4) rad in f32), so outputs deviate from the composed
+    path by O(1e-3) relative — equivalence-tested at that tolerance
+    (tests/test_train.py); the composed path remains the parity surface.
+
+    Returns (hat_amp, target_amp, hat_phs, target_phs), each (B, C, rows,
+    cols), hat[i] and target[i] sharing the same drawn distance (reference
+    randperm pairing, :536).
+    """
+    if (
+        gen_plan.padded_rows != multi_plan.padded_rows
+        or gen_plan.padded_cols != multi_plan.padded_cols
+        or gen_plan.pixel_pitch != multi_plan.pixel_pitch
+        or gen_plan.wavelengths != multi_plan.wavelengths
+    ):
+        raise ValueError(
+            "two-H hat path needs gen and multi plans on the same padded "
+            "grid/pitch/wavelengths (shared w-grid); got "
+            f"{(gen_plan.padded_rows, gen_plan.padded_cols)} vs "
+            f"{(multi_plan.padded_rows, multi_plan.padded_cols)}."
+        )
+    num_d = multi_plan.num_distances
+    b = poh.shape[0]
+    if b > num_d:
+        raise ValueError(
+            f"random-distance draw needs batch <= num_distances (got batch "
+            f"{b}, {num_d} cached distances)."
+        )
+    if gen_plan.distances is None:
+        raise ValueError("gen_plan needs its fixed distance (make_plan(distances=[z]))")
+    idx = jax.random.permutation(key, num_d)[:b]
+    z = multi_plan.distances[idx]  # (B,)
+    z_hat = gen_plan.distances[0] + z
+    hat_mask = gen_plan.mask * multi_plan.mask
+    tgt_mask = multi_plan.mask * multi_plan.mask
+    g_hat = field(jnp.ones_like(poh), poh)
+    g_tgt = field(target_amp, (2.0 * np.pi) * target_phs)
+    if _fused_ok(multi_plan):
+        hat = _fused_apply(
+            multi_plan, g_hat, z_hat, per_plane=True, mask_override=hat_mask
+        )[:, 0]
+        tgt = _fused_apply(
+            multi_plan, g_tgt, z, per_plane=True, mask_override=tgt_mask
+        )[:, 0]
+    else:
+        h_hat = _transfer_function(multi_plan.w_grid, z_hat) * hat_mask
+        h_tgt = _transfer_function(multi_plan.w_grid, z) * tgt_mask
+        hat = crop(
+            multi_plan,
+            _ifft2(_fft2(pad(multi_plan, g_hat), multi_plan) * h_hat, multi_plan),
+        )
+        tgt = crop(
+            multi_plan,
+            _ifft2(_fft2(pad(multi_plan, g_tgt), multi_plan) * h_tgt, multi_plan),
+        )
+    return jnp.abs(hat), jnp.abs(tgt), _angle(hat), _angle(tgt)

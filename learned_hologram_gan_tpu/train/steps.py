@@ -77,10 +77,24 @@ def _reconstruct(
     multi_plan: asm.PropagatorPlan,
     batch: Batch,
     dist_key: jax.Array,
+    two_h: bool = False,
 ):
-    """Steps 1-4: POH + random-distance focal-stack recon of hat & target."""
+    """Steps 1-4: POH + random-distance focal-stack recon of hat & target.
+
+    ``two_h=True`` routes through :func:`asm.hat_target_random_distances`
+    (VERDICT r2 #9): the hat branch folds the fixed forward H and the focal H
+    into one transfer function, so neither branch materializes a padded-size
+    spectrum and the (2B) concat disappears — same drawn distances, outputs
+    within O(1e-3) of the composed path (documented re-rounding of the
+    2*pi*z*w phase).
+    """
     rgbd, target_amp, target_phs = batch
     poh, new_bs_G = _apply_g(generator, params_G, batch_stats_G, gen_plan, rgbd)
+    if two_h:
+        h_amps, t_amps, h_phs, t_phs = asm.hat_target_random_distances(
+            gen_plan, multi_plan, poh, target_amp, target_phs, dist_key
+        )
+        return (h_amps, t_amps, h_phs, t_phs), new_bs_G
     hat_freq = asm.propagate_poh2freq_forward(gen_plan, poh)
     target_freq = asm.filter_ap2filtered_freq(multi_plan, target_amp, target_phs)
     both = jnp.concatenate([hat_freq, target_freq], axis=0)
@@ -176,6 +190,7 @@ def build_train_step(
     remat: bool = False,
     spatial_mesh=None,
     critic_batching: str = "pair",
+    two_h_hat: bool = False,
 ) -> Callable[[TrainState, Batch, asm.PropagatorPlan, asm.PropagatorPlan], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted (state, batch, gen_plan, multi_plan) -> (state, metrics) step.
 
@@ -205,6 +220,13 @@ def build_train_step(
         TFLOP/step — so the MXU-utilization gain (22.5% vs 20.9%) cannot
         pay for the 40% FLOP increase.  Kept for the record + small-batch
         regimes where the critic is dispatch-bound.
+
+    ``two_h_hat=True`` reconstructs hat/target via
+    :func:`asm.hat_target_random_distances` — one combined transfer function
+    per branch, no padded-spectrum materialization, no 2B concat (r2 verdict
+    item 9).  Outputs deviate from the composed path by O(1e-3) (documented
+    phase re-rounding), so it is opt-in; the default keeps the reference-
+    composed numerics.
 
     ``spatial_mesh`` binds the spatially-sharded pencil-FFT mode to THIS
     step function at build time — the safe way to use it.  The ambient
@@ -262,7 +284,7 @@ def build_train_step(
         def recon_of_params(p_G):
             (h_amps, t_amps, h_phs, t_phs), bs_G_new = _reconstruct(
                 generator, p_G, state.batch_stats_G,
-                gen_plan, multi_plan, batch, dist_key,
+                gen_plan, multi_plan, batch, dist_key, two_h=two_h_hat,
             )
             # target path does not depend on p_G; keep it out of the vjp
             return (h_amps, h_phs), (t_amps, t_phs, bs_G_new)

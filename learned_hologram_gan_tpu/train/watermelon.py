@@ -74,6 +74,7 @@ class Watermelon:
         cache_h: bool = True,
         spatial_mesh=None,
         critic_batching: str = "pair",
+        two_h_hat: bool = False,
     ):
         # remat + cache_h=False are the single-chip high-resolution levers:
         # activation checkpointing through the UNet, and no cached transfer-
@@ -105,6 +106,7 @@ class Watermelon:
         self.spatial_mesh = spatial_mesh
         self.use_gan = use_gan
         self.critic_batching = critic_batching
+        self.two_h_hat = two_h_hat
         self._loss_defaults = dict(
             phase_loss=phase_loss,
             perceptual=perceptual,
@@ -235,7 +237,7 @@ class Watermelon:
             self.generator, self.discriminator, self.tx_G, self.tx_D,
             loss_cfg, self.use_gan, discriminator_train_ratio, discriminator_lambda,
             remat=self.gen_config.remat, spatial_mesh=self.spatial_mesh,
-            critic_batching=self.critic_batching,
+            critic_batching=self.critic_batching, two_h_hat=self.two_h_hat,
         )
         eval_step = build_eval_step(self.generator, self.discriminator, loss_cfg)
 

@@ -215,6 +215,54 @@ def test_freq2ap_random_distances_pairs_hat_with_target():
     np.testing.assert_allclose(np.asarray(amp[:b]), np.asarray(amp[b:]), atol=1e-6)
 
 
+def test_hat_target_random_distances_matches_composed_path():
+    """Two-H fused hat/target == poh2freq + filter + concat + freq2ap_random.
+
+    The fused variant folds H(z_fixed)*H(z_d) into H(z_fixed + z_d); the
+    2*pi*z*w phase is O(1e4) rad in f32, so re-rounding it moves the outputs
+    by O(1e-3) relative — the tolerance below pins that documented bound.
+    """
+    optics = small_optics()
+    ds = np.linspace(-4e-4, 0.0, 9)[:-1]
+    gen_plan = asm.make_plan(optics, distances=[1e-3])
+    multi_plan = asm.make_plan(optics, distances=ds)
+    b = 4
+    poh = jnp.asarray(RNG.random((b, 3, 32, 32)).astype(np.float32)) * 2 * np.pi
+    t_amp = jnp.asarray(RNG.random((b, 3, 32, 32)).astype(np.float32))
+    t_phs = jnp.asarray(RNG.random((b, 3, 32, 32)).astype(np.float32))
+    key = jax.random.key(11)
+
+    hat_freq = asm.propagate_poh2freq_forward(gen_plan, poh)
+    target_freq = asm.filter_ap2filtered_freq(multi_plan, t_amp, t_phs)
+    both = jnp.concatenate([hat_freq, target_freq], axis=0)
+    amps, phss = asm.freq2ap_random_distances(multi_plan, both, key)
+
+    h_amp, tg_amp, h_phs, tg_phs = asm.hat_target_random_distances(
+        gen_plan, multi_plan, poh, t_amp, t_phs, key
+    )
+    # compare complex fields (phase alone is unstable where amp ~ 0)
+    def cfield(a, p):
+        return np.asarray(a) * np.exp(1j * np.asarray(p))
+
+    scale = float(np.abs(cfield(amps, phss)).max())
+    np.testing.assert_allclose(
+        cfield(h_amp, h_phs), cfield(amps[:b], phss[:b]), atol=3e-3 * scale
+    )
+    np.testing.assert_allclose(
+        cfield(tg_amp, tg_phs), cfield(amps[b:], phss[b:]), atol=3e-3 * scale
+    )
+
+    # differentiable: the train step backprops through the hat branch
+    def loss(p):
+        ha, _, _, _ = asm.hat_target_random_distances(
+            gen_plan, multi_plan, p, t_amp, t_phs, key
+        )
+        return jnp.sum(ha**2)
+
+    g = jax.grad(loss)(poh)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_ap2ap_layout_and_backward():
     optics = small_optics(pad=0)
     plan = asm.make_plan(optics, distances=[1e-3])

@@ -153,6 +153,41 @@ def test_fused_matches_composable(prim):
     np.testing.assert_allclose(got, want, atol=5e-5)
 
 
+def test_fused_hat_target_matches_composable():
+    """Two-H hat/target path: fused Pallas == composable XLA (values + grad)."""
+    from learned_hologram_gan_tpu.config import OpticsConfig
+
+    optics = OpticsConfig(rows=24, cols=32, pad_size=4,
+                          filter_radius_coefficient=0.45)
+    multi_plan = asm.make_plan(optics, distances=np.linspace(-4e-4, 0.0, 5)[:-1])
+    gen_plan = asm.make_plan(optics, distances=[1e-3])
+    rng = np.random.default_rng(6)
+    poh = jnp.asarray(rng.random((2, 3, 24, 32)).astype(np.float32)) * 2 * np.pi
+    amp = jnp.asarray(rng.random((2, 3, 24, 32)).astype(np.float32))
+    phs = jnp.asarray(rng.random((2, 3, 24, 32)).astype(np.float32))
+    key = jax.random.key(9)
+
+    def run():
+        return asm.hat_target_random_distances(
+            gen_plan, multi_plan, poh, amp, phs, key
+        )
+
+    want = _on_backend("xla", run)
+    got = _on_backend("pallas", run)
+    for g, w in zip(got[:2], want[:2]):  # amplitudes
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=5e-5)
+
+    def loss(p):
+        ha, ta, _, _ = asm.hat_target_random_distances(
+            gen_plan, multi_plan, p, amp, phs, key
+        )
+        return jnp.sum(ha**2) + jnp.sum(ta**2)
+
+    gw = np.asarray(_on_backend("xla", lambda: jax.grad(loss)(poh)))
+    gg = np.asarray(_on_backend("pallas", lambda: jax.grad(loss)(poh)))
+    np.testing.assert_allclose(gg, gw, rtol=2e-4, atol=2e-4)
+
+
 def test_fused_gradients_match_composable():
     """The custom-VJP (conjugate-transposed pipeline with crop->embed) must
     reproduce the composable path's gradients."""

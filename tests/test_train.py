@@ -75,6 +75,33 @@ def test_gan_training_runs_and_records_history(tmp_path):
     assert os.path.exists(tmp_path / "D.msgpack")
 
 
+def test_two_h_hat_step_tracks_composed_path():
+    """One train step with two_h_hat=True stays within the documented O(1e-3)
+    deviation of the composed-spectrum path (same seed, same batch)."""
+    from learned_hologram_gan_tpu.config import LossConfig
+    from learned_hologram_gan_tpu.train.steps import build_train_step
+
+    batch = jax.tree.map(jnp.asarray, synthetic_batches(1)[0])
+    metrics = {}
+    for flag in (False, True):
+        trainer = tiny_trainer(two_h_hat=flag)
+        trainer._init_state(7, 1e-3, 1e-3)
+        loss_cfg = LossConfig(perceptual="none")
+        step = build_train_step(
+            trainer.generator, trainer.discriminator, trainer.tx_G,
+            trainer.tx_D, loss_cfg, use_gan=True,
+            discriminator_train_ratio=2, discriminator_lambda=10.0,
+            two_h_hat=flag,
+        )
+        _, m = step(trainer.state, batch, trainer.gen_plan, trainer.multi_plan)
+        metrics[flag] = {k: float(v) for k, v in m.items()}
+    for k, v in metrics[False].items():
+        assert np.isfinite(metrics[True][k]), k
+        np.testing.assert_allclose(
+            metrics[True][k], v, rtol=2e-2, atol=2e-3, err_msg=k
+        )
+
+
 @pytest.mark.slow
 def test_without_gan_matches_reference_overrides(tmp_path):
     trainer = watermelon_without_GAN(
