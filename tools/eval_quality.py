@@ -69,7 +69,12 @@ def main() -> None:
         samples_num=args.val_num, height=h, width=w,
     )
 
-    g_path = os.path.join(args.run_dir, "G.msgpack")
+    g_path = next(
+        (p for p in (os.path.join(args.run_dir, n)
+                     for n in ("G.msgpack", "generator.msgpack"))
+         if os.path.exists(p)),
+        os.path.join(args.run_dir, "G.msgpack"),
+    )
     trainer = Watermelon(
         filter_radius_coefficient=args.filter_radius_coefficient,
         pad_size=args.pad_size,

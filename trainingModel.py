@@ -84,6 +84,8 @@ def train_gan(args):
         cache_h=not args.no_cache_h,
         spatial_mesh=(make_mesh(args.spatial_mesh_devices)
                       if args.spatial_mesh_devices else None),
+        critic_batching=args.critic_batching,
+        two_h_hat=args.two_h_hat,
     )
 
     check_and_create_folder(os.path.dirname(args.save_path_G))
@@ -175,6 +177,14 @@ if __name__ == "__main__":
     parser.add_argument('--resume_dir', type=str, default=None,
                         help="Directory for full-train-state checkpoints; restarting "
                              "with the same value resumes from the latest one.")
+    parser.add_argument('--critic_batching', type=str, default='pair',
+                        choices=['separate', 'pair', 'full'],
+                        help="WGAN-GP critic apply structure per iteration "
+                             "(see train/steps.py; 'pair' measured fastest).")
+    parser.add_argument('--two_h_hat', action='store_true',
+                        help="Fold the fixed and focal transfer functions of "
+                             "the hat branch into one (skips the padded-"
+                             "spectrum round trip; O(1e-3) numeric deviation).")
     parser.add_argument('--remat', action='store_true',
                         help="Activation checkpointing through the UNet (high-res training).")
     parser.add_argument('--no_cache_h', action='store_true',
