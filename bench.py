@@ -51,6 +51,12 @@ def main():
     # complex device->host transfer during lowering.
     @jax.jit
     def pipeline(params, batch_stats, gen_plan, recon_plan, rgbd):
+        # NOTE: the module apply IS the fast path here.  The fused-UNet
+        # alternative (nn/fused_unet.py: BN folded, optional whole-block
+        # Pallas kernel) measured 56.0 vs 55.1 ms/batch-16 — XLA already
+        # fuses the eval-BN epilogues, and the Pallas block kernel cannot
+        # fit the 384-wide level-0/1 stripes in VMEM (see BASELINE.md
+        # round-3 conv-path study).
         poh = generator.apply(
             {"params": params, "batch_stats": batch_stats},
             gen_plan, rgbd, train=False,

@@ -6,6 +6,7 @@ from .generator import (
     Generator,
     RGBD2AP,
     double_phase_encode,
+    generator_apply_fused,
     make_generator_plan,
 )
 
@@ -16,5 +17,6 @@ __all__ = [
     "RGBD2AP",
     "WGANGPDiscriminator192",
     "double_phase_encode",
+    "generator_apply_fused",
     "make_generator_plan",
 ]

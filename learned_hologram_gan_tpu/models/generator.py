@@ -173,6 +173,47 @@ class Generator(nn.Module):
         return self.part2(plan, amp, phs)
 
 
+def generator_apply_fused(
+    generator: Generator,
+    variables,
+    plan: asm.PropagatorPlan,
+    rgbd: jnp.ndarray,
+) -> jnp.ndarray:
+    """Eval-only Generator forward with the fused-UNet inference fast path.
+
+    Identical math to ``generator.apply(..., train=False)`` — stage 1 runs
+    through :func:`~learned_hologram_gan_tpu.nn.fused_unet.unet_apply_fused`
+    (BN folded into convs, residual blocks in one Pallas kernel each where
+    VMEM allows), stage 2 through the normal module.  Falls back to the plain
+    module apply for trees the fast path doesn't understand (fourier UNet).
+    Equivalence pinned by tests/test_fused_unet.py.
+    """
+    from ..nn.fused_unet import supported, unet_apply_fused
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    unet_params = params["part1"]["unet"]
+    if not supported(unet_params):
+        return generator.apply(
+            {"params": params, "batch_stats": batch_stats}, plan, rgbd,
+            train=False,
+        )
+    dtype = (
+        jnp.bfloat16 if generator.config.dtype == "bfloat16" else jnp.float32
+    )
+    y = unet_apply_fused(
+        unet_params,
+        batch_stats["part1"]["unet"],
+        nchw_to_nhwc(rgbd).astype(dtype),
+    )
+    y = nhwc_to_nchw(y).astype(jnp.float32)
+    amp = generator.config.amplitude_scaler * y[:, :3]
+    phs = (2.0 * np.pi) * y[:, 3:]
+    return generator.apply(
+        {"params": params}, plan, amp, phs, method=Generator.stage2
+    )
+
+
 def make_generator_plan(
     config: GeneratorConfig, cache_h: bool = True
 ) -> asm.PropagatorPlan:

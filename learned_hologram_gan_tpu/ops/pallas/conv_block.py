@@ -36,22 +36,33 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# VMEM plan: weights + 2x input stripe + f32 accumulator + bf16 intermediate
-# + 2x output stripe must fit the ~16 MB scoped VMEM (see _vmem_bytes).
-_VMEM_BUDGET = 12 * 1024 * 1024
+# Mosaic stack-allocates a temporary for every materialized slice, so the
+# dominant VMEM cost is the 9 shifted tap slices of each conv's input (the
+# unrolled 3x3).  The itemized model below reproduces the compiler's
+# reported scoped sizes within ~15% on this chip (measured: 18.3M at
+# w=192/c=128/rb=8, 31.0M at w=384/c=64/rb=8, <=16M at w=96/c=64/rb=16),
+# scaled by the observed 0.85 lifetime-overlap factor.
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _vmem_bytes(row_block: int, w: int, cin: int, cout: int, itemsize: int) -> int:
     def lanes(c):  # Mosaic pads the minor (channel) dim to full 128 lanes
         return max(c, 128)
 
-    weights = 9 * cin * cout * itemsize + 9 * cout * cout * itemsize
-    weights += cin * cout * itemsize  # shortcut
-    xbuf = 2 * (row_block + 4) * (w + 4) * lanes(cin) * itemsize
-    acc = (row_block + 2) * (w + 2) * lanes(cout) * 4
-    y1 = (row_block + 2) * (w + 2) * lanes(cout) * itemsize
-    out = 2 * row_block * w * lanes(cout) * itemsize
-    return weights + xbuf + acc + y1 + out
+    rb = row_block
+    li, lo = lanes(cin) * itemsize, lanes(cout) * itemsize
+    weights = (9 * cin + cin) * cout * itemsize + 9 * cout * cout * itemsize
+    xblocks = 3 * 2 * rb * w * li  # 3 stripes, double-buffered
+    halo = 3 * (rb + 4) * (w + 4) * li  # concat + mask + col-pad temps
+    xp_taps = 9 * (rb + 2) * (w + 2) * li
+    acc1 = 2 * (rb + 2) * (w + 2) * lanes(cout) * 4
+    y1 = 2 * (rb + 2) * (w + 2) * lo
+    y1_taps = 9 * rb * w * lo
+    acc2 = 2 * rb * w * lanes(cout) * 4
+    sc_out = 3 * rb * w * lo
+    total = (weights + xblocks + halo + xp_taps + acc1 + y1 + y1_taps
+             + acc2 + sc_out)
+    return int(total * 0.85)
 
 
 def pick_row_block(h: int, w: int, cin: int, cout: int, itemsize: int = 2) -> Optional[int]:
@@ -85,43 +96,25 @@ def fold_conv_bn(conv_params, bn_params, bn_stats, eps: float = 1e-5):
 
 
 def _block_kernel(
-    x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref,
-    xbuf, sem, *, rb: int, h: int, w: int, n_row_blocks: int,
+    xm1, x0, xp1, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref,
+    *, rb: int, h: int, w: int, n_row_blocks: int,
 ):
     g = pl.program_id(0)
-    nprog = pl.num_programs(0)
-    b = g // n_row_blocks
-    i = g % n_row_blocks
+    i = jax.lax.rem(g, n_row_blocks)
     row0 = i * rb
 
-    def dma(bb, ii, slot):
-        start = jnp.clip(ii * rb - 2, 0, h - (rb + 4))
-        return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(start, rb + 4)], xbuf.at[slot], sem.at[slot]
-        )
-
-    @pl.when(g == 0)
-    def _():
-        dma(b, i, 0).start()
-
-    slot = jax.lax.rem(g, 2)
-
-    @pl.when(g + 1 < nprog)
-    def _():
-        gn = g + 1
-        dma(gn // n_row_blocks, jax.lax.rem(gn, n_row_blocks), 1 - slot).start()
-
-    dma(b, i, slot).wait()
-
-    xv = xbuf[slot]  # (rb+4, w, cin) = x[b, clip(row0-2):+rb+4]
-    cin = xv.shape[-1]
-    cout = out_ref.shape[-1]
-    # Re-align to the halo extent rows [row0-2, row0+rb+2), zero-filled
-    # outside the image (rel is -2 at the top stripe, +2 at the bottom).
-    start = jnp.clip(row0 - 2, 0, h - (rb + 4))
-    rel = row0 - 2 - start
-    xpad = jnp.pad(xv, ((2, 2), (2, 2), (0, 0)))  # rows AND the SAME col halo
-    xp = jax.lax.dynamic_slice(xpad, (2 + rel, 0, 0), (rb + 4, w + 4, cin))
+    # Assemble the 2-row halo from the three pipelined stripes (the
+    # prev/next index maps clamp at the image edges; the garbage rows they
+    # deliver there are zeroed by the row-validity mask below, matching the
+    # SAME-padding zeros of the reference conv).
+    top2 = xm1[0, rb - 2 : rb]
+    bot2 = xp1[0, 0:2]
+    xrows = jnp.concatenate([top2, x0[0], bot2], axis=0)  # (rb+4, w, cin)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rb + 4, 1, 1), 0) + (row0 - 2)
+    xrows = jnp.where(
+        (rows >= 0) & (rows < h), xrows, jnp.zeros_like(xrows)
+    )
+    xp = jnp.pad(xrows, ((0, 0), (2, 2), (0, 0)))  # 2-col zero halo
 
     dn = (((2,), (0,)), ((), ()))
     f32 = jnp.float32
@@ -129,7 +122,7 @@ def _block_kernel(
     # conv1 (+1-ring for conv2): y1 extent rows [row0-1, row0+rb+1),
     # cols [-1, w+1)
     acc = jax.lax.dot_general(
-        xp[0 : rb + 2, 0 : w + 2], w1_ref[0, 0], dn, preferred_element_type=f32
+        xp[0 : rb + 2, 0 : w + 2], w1_ref[0], dn, preferred_element_type=f32
     )
     for dr in range(3):
         for dc in range(3):
@@ -137,23 +130,23 @@ def _block_kernel(
                 continue
             acc = acc + jax.lax.dot_general(
                 xp[dr : dr + rb + 2, dc : dc + w + 2],
-                w1_ref[dr, dc],
+                w1_ref[dr * 3 + dc],
                 dn,
                 preferred_element_type=f32,
             )
     acc = acc + b1_ref[0]
-    y1 = jnp.maximum(acc, 0.0).astype(xv.dtype)
+    y1 = jnp.maximum(acc, 0.0).astype(xrows.dtype)
     # Zero the ring where it falls outside the image: XLA's SAME conv2 pads
     # the conv1 *output* with zeros there, while our ring holds conv1
     # evaluated on zero-padded x — different values at the borders.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (rb + 2, w + 2, 1), 0) + (row0 - 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (rb + 2, w + 2, 1), 1) - 1
-    valid = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (rb + 2, w + 2, 1), 0) + (row0 - 1)
+    cols1 = jax.lax.broadcasted_iota(jnp.int32, (rb + 2, w + 2, 1), 1) - 1
+    valid = (rows1 >= 0) & (rows1 < h) & (cols1 >= 0) & (cols1 < w)
     y1 = jnp.where(valid, y1, jnp.zeros_like(y1))
 
     # conv2 -> (rb, w, cout)
     acc2 = jax.lax.dot_general(
-        y1[0:rb, 0:w], w2_ref[0, 0], dn, preferred_element_type=f32
+        y1[0:rb, 0:w], w2_ref[0], dn, preferred_element_type=f32
     )
     for dr in range(3):
         for dc in range(3):
@@ -161,7 +154,7 @@ def _block_kernel(
                 continue
             acc2 = acc2 + jax.lax.dot_general(
                 y1[dr : dr + rb, dc : dc + w],
-                w2_ref[dr, dc],
+                w2_ref[dr * 3 + dc],
                 dn,
                 preferred_element_type=f32,
             )
@@ -203,20 +196,40 @@ def fused_residual_block(
         raise ValueError(f"unsupported geometry ({h}x{w}, {cin}->{cout})")
     n_row_blocks = h // rb
     dt = x.dtype
+    # 3x3 kernels go in as (9, cin, cout): leading-dim indexing is the only
+    # tap access Mosaic accepts (a (3,3,cin,cout) slice would cut the tiled
+    # minor pair).
     args = (
         x,
-        w1.astype(dt), b1.astype(jnp.float32).reshape(1, -1),
-        w2.astype(dt), b2.astype(jnp.float32).reshape(1, -1),
+        w1.reshape(9, cin, cout).astype(dt),
+        b1.astype(jnp.float32).reshape(1, -1),
+        w2.reshape(9, cout, cout).astype(dt),
+        b2.astype(jnp.float32).reshape(1, -1),
         w3.astype(dt), b3.astype(jnp.float32).reshape(1, -1),
     )
     vspec = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    nrb = n_row_blocks
+
+    def stripe(di):
+        # block index map for the stripe at row-block i+di, clamped at the
+        # image edges (garbage rows there are masked in-kernel)
+        return pl.BlockSpec(
+            (1, rb, w, cin),
+            lambda g, d=di: (
+                g // nrb, jnp.clip(jax.lax.rem(g, nrb) + d, 0, nrb - 1), 0, 0
+            ),
+        )
+
     return pl.pallas_call(
         functools.partial(
             _block_kernel, rb=rb, h=h, w=w, n_row_blocks=n_row_blocks
         ),
         grid=(bsz * n_row_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM, manual DMA
+            # x rides in three standard pipelined stripes (prev/cur/next) —
+            # a manual halo DMA would need lane-tiling-aligned slices, which
+            # 64-channel NHWC buffers cannot satisfy on TPU.
+            stripe(-1), stripe(0), stripe(+1),
             vspec(), vspec(), vspec(), vspec(), vspec(), vspec(),
         ],
         out_specs=pl.BlockSpec(
@@ -224,31 +237,30 @@ def fused_residual_block(
             lambda g: (g // n_row_blocks, jax.lax.rem(g, n_row_blocks), 0, 0),
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, cout), dt),
-        scratch_shapes=[
-            pltpu.VMEM((2, rb + 4, w, cin), dt),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         interpret=_interpret(),
-    )(*args)
+    )(x, x, *args)
 
 
 def residual_block_reference(x, w1, b1, w2, b2, w3, b3):
-    """Unfused XLA oracle for the same folded block (tests + fallback)."""
+    """Unfused XLA oracle for the same folded block (tests + fallback).
+
+    Conv outputs stay in the compute dtype (XLA still accumulates the MXU
+    dots in f32 internally): forcing ``preferred_element_type=f32`` here
+    would double the HBM bytes of every conv output — measured 10% slower
+    over the whole 384^2 UNet — for rounding the module path never had.
+    """
     if w3.ndim == 2:
         w3 = w3[None, None]
     dn = ("NHWC", "HWIO", "NHWC")
     dt = x.dtype
     y = jax.lax.conv_general_dilated(
         x, w1.astype(dt), (1, 1), "SAME", dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    ) + b1
-    y = jnp.maximum(y, 0.0).astype(dt)
+    ) + b1.astype(dt)
+    y = jnp.maximum(y, 0.0)
     y = jax.lax.conv_general_dilated(
         y, w2.astype(dt), (1, 1), "SAME", dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    ) + b2
+    ) + b2.astype(dt)
     sc = jax.lax.conv_general_dilated(
         x, w3.astype(dt), (1, 1), "VALID", dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    ) + b3
-    return jnp.maximum(y + sc, 0.0).astype(dt)
+    ) + b3.astype(dt)
+    return jnp.maximum(y + sc, 0.0)

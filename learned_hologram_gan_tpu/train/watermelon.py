@@ -60,6 +60,8 @@ class Watermelon:
         distance_stack: Optional[Sequence[float]] = None,
         pretrained_model_path_G: Optional[str] = None,
         pretrained_model_path_D: Optional[str] = None,
+        pretrained_part1_path: Optional[str] = None,
+        pretrained_part2_path: Optional[str] = None,
         input_shape: Tuple[int, int, int, int] = (1, 4, 192, 192),
         # --- rebuild-specific extensions (ablation + precision knobs) ---
         use_gan: bool = True,
@@ -141,6 +143,10 @@ class Watermelon:
 
         self.pretrained_model_path_G = pretrained_model_path_G
         self.pretrained_model_path_D = pretrained_model_path_D
+        # per-part pretrained weights for the two-stage pretrain->fine-tune
+        # workflow (reference generator.py:26-28 / RGBD2AP.py:37-41)
+        self.pretrained_part1_path = pretrained_part1_path
+        self.pretrained_part2_path = pretrained_part2_path
 
         self.state: Optional[TrainState] = None
         self.infer_fn = build_infer_fn(self.generator)
@@ -165,6 +171,14 @@ class Watermelon:
         if self.pretrained_model_path_D:
             self.state = ckpt_lib.load_discriminator(self.state, self.pretrained_model_path_D)
             print(f"Discriminator loaded from {self.pretrained_model_path_D}")
+        if self.pretrained_part1_path:
+            self.state = ckpt_lib.load_generator_part(
+                self.state, self.pretrained_part1_path, "part1")
+            print(f"Generator part1 (RGBD2AP) loaded from {self.pretrained_part1_path}")
+        if self.pretrained_part2_path:
+            self.state = ckpt_lib.load_generator_part(
+                self.state, self.pretrained_part2_path, "part2")
+            print(f"Generator part2 (AP2POH) loaded from {self.pretrained_part2_path}")
 
     # ------------------------------------------------------------------
     def train(

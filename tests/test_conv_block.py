@@ -59,6 +59,10 @@ def test_fused_block_matches_residual_block_module():
 
 
 def test_pick_row_block_budget():
-    assert cb.pick_row_block(384, 384, 128, 64) in (32, 16, 8)
+    # Calibrated against Mosaic's reported scoped-VMEM sizes on v5e (see
+    # _vmem_bytes): 96-wide 128->256 stripes compile; 384-wide stripes blow
+    # the 16 MB scoped VMEM (measured 31 MB at rb=8) and must be rejected.
+    assert cb.pick_row_block(96, 96, 128, 256) in (32, 16, 8)
+    assert cb.pick_row_block(384, 384, 128, 64) is None  # tap temps blow VMEM
     assert cb.pick_row_block(48, 48, 1024, 512) is None  # weights blow VMEM
     assert cb.pick_row_block(10, 16, 8, 8) is None  # no divisor with halo room

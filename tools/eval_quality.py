@@ -97,6 +97,8 @@ def main() -> None:
         both = jnp.concatenate([hat_freq, tgt_freq], axis=0)
         amps, _ = asm.freq2ap_all_distances(multi_plan, both)
         b = rgbd.shape[0]
+        # (2B*D, 3, H, W) distance-major per sample -> (2B, D, 3, H, W)
+        amps = amps.reshape(2 * b, multi_plan.num_distances, *amps.shape[1:])
         return amps[:b], amps[b:]  # (B, D, 3, H, W) each
 
     # ---- full-val metric sweep ----

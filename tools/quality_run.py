@@ -1,0 +1,240 @@
+"""Config-of-record training run to hologram quality (round-2 VERDICT #1).
+
+Reproduces the reference's documented workflow end-to-end on the synthetic
+physically-consistent dataset (tools/make_synthetic_dataset.py):
+
+  1. stage-1 pretrain RGBD2AP   (reference RGBD2AP.train_model :52-137)
+  2. stage-2 pretrain AP2POH    (reference AP2POH.train_model :118-218)
+  3. full WGAN-GP fine-tune at the config of record — 384x384, batch 4,
+     500 samples, 50 epochs, lr 1e-3/1e-3, ratio 5, lambda 10, 20-plane
+     stack linspace(-4e-4, 0, 21)[:-1], loss weights (1, 0.1, 1, 1e-3, 0.1)
+     (reference README.md:47-67 + trainingModel.py:59-97)
+  4. evaluation: tools/eval_quality.py (full-val 20-plane PSNR/SSIM,
+     per-plane curves, focal-stack comparison grids)
+
+Deviations from the reference objective, all pre-documented: single 2*pi
+phase scaling (losses.amp_phs_loss), perceptual term from the explicit
+``random``-VGG opt-in (ImageNet weights unobtainable offline — see
+docs/perceptual_fallback.md), BN inference-stats inside the GP inner grad.
+
+Run:  python tools/quality_run.py --out output/quality_run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="data/synth384")
+    ap.add_argument("--out", default="output/quality_run")
+    ap.add_argument("--rows", type=int, default=384)
+    ap.add_argument("--cols", type=int, default=384)
+    ap.add_argument("--train_num", type=int, default=500)
+    ap.add_argument("--val_num", type=int, default=100)
+    ap.add_argument("--batch_size", type=int, default=4)   # README.md:47-67
+    ap.add_argument("--stage1_epochs", type=int, default=30)
+    ap.add_argument("--stage2_epochs", type=int, default=20)
+    ap.add_argument("--gan_epochs", type=int, default=50)  # README.md:47-67
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--perceptual", default="random")
+    ap.add_argument("--skip_stage1", action="store_true")
+    ap.add_argument("--skip_stage2", action="store_true")
+    ap.add_argument("--skip_gan", action="store_true")
+    ap.add_argument("--skip_eval", action="store_true")
+    args = ap.parse_args()
+
+    from learned_hologram_gan_tpu.config import GeneratorConfig
+    from learned_hologram_gan_tpu.data import (
+        AmpPhsDataset,
+        ImgDepthAmpPhsDataset,
+        epoch_loader,
+    )
+    from learned_hologram_gan_tpu.models import (
+        AP2POH,
+        RGBD2AP,
+        make_generator_plan,
+    )
+    from learned_hologram_gan_tpu.train import (
+        Watermelon,
+        train_ap2poh,
+        train_rgbd2ap,
+    )
+    from learned_hologram_gan_tpu.utils import set_seed
+
+    os.makedirs(args.out, exist_ok=True)
+    stage1_path = os.path.join(args.out, "rgbd2ap.msgpack")
+    stage2_path = os.path.join(args.out, "ap2poh.msgpack")
+    t_all = time.time()
+    timings = {}
+
+    set_seed(122731)  # reference trainingModel.py:18
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    paths = lambda split: dict(  # noqa: E731
+        img_path=f"{args.data}/{split}/img.bin",
+        depth_path=f"{args.data}/{split}/depth.bin",
+        amp_path=f"{args.data}/{split}/amp.bin",
+        phs_path=f"{args.data}/{split}/phs.bin",
+    )
+    common = dict(channels_num=3, height=args.rows, width=args.cols)
+    ds_train = ImgDepthAmpPhsDataset(
+        samples_num=args.train_num, **paths("train"), **common)
+    ds_val = ImgDepthAmpPhsDataset(
+        samples_num=args.val_num, **paths("val"), **common)
+
+    epoch_seed = [122731]
+
+    def train_batches(dataset, batch):
+        def fn():
+            epoch_seed[0] += 1
+            return epoch_loader(dataset, batch, shuffle=True, drop_last=True,
+                                seed=epoch_seed[0])
+        return fn
+
+    def val_batches(dataset, batch):
+        return lambda: epoch_loader(dataset, batch, shuffle=False,
+                                    drop_last=False)
+
+    # ------------------------------------------------------------------
+    # stage 1: RGBD2AP pretrain
+    # ------------------------------------------------------------------
+    if not args.skip_stage1:
+        log(f"stage 1: RGBD2AP pretrain, {args.stage1_epochs} epochs")
+        t0 = time.time()
+        model1 = RGBD2AP(base_features=64, dtype=dtype)
+        rgbd0 = jnp.zeros((1, 4, args.rows, args.cols), jnp.float32)
+        variables = model1.init(jax.random.key(0), rgbd0, train=False)
+        _, _, tr_hist, val_hist = train_rgbd2ap(
+            model1, variables["params"], variables["batch_stats"],
+            train_batches(ds_train, args.batch_size),
+            val_batches(ds_val, max(args.batch_size // 2, 1)),
+            epochs=args.stage1_epochs, lr=1e-3, alpha=1e-3,
+            save_path=stage1_path, checkpoint_iterval=10,
+        )
+        timings["stage1_s"] = time.time() - t0
+        with open(os.path.join(args.out, "stage1_history.json"), "w") as f:
+            json.dump({"train": tr_hist, "val": val_hist}, f)
+        log(f"stage 1 done in {timings['stage1_s']:.0f}s: "
+            f"val {val_hist[0]:.5f} -> {val_hist[-1]:.5f}")
+
+    # ------------------------------------------------------------------
+    # stage 2: AP2POH pretrain
+    # ------------------------------------------------------------------
+    if not args.skip_stage2:
+        log(f"stage 2: AP2POH pretrain, {args.stage2_epochs} epochs")
+        t0 = time.time()
+        cfg = GeneratorConfig(
+            rows=args.rows, cols=args.cols, pad_size=320,
+            filter_radius_coefficient=0.45, dtype=args.dtype,
+        )
+        plan = make_generator_plan(cfg)
+        model2 = AP2POH(kernel_size=3, dtype=dtype)
+        amp0 = jnp.zeros((1, 3, args.rows, args.cols), jnp.float32)
+        variables = model2.init(jax.random.key(0), plan, amp0, amp0)
+        ds2_train = AmpPhsDataset(
+            amp_path=f"{args.data}/train/amp.bin",
+            phs_path=f"{args.data}/train/phs.bin",
+            samples_num=args.train_num, **common)
+        ds2_val = AmpPhsDataset(
+            amp_path=f"{args.data}/val/amp.bin",
+            phs_path=f"{args.data}/val/phs.bin",
+            samples_num=args.val_num, **common)
+        _, _, tr_hist, val_hist = train_ap2poh(
+            model2, plan, variables["params"],
+            train_batches(ds2_train, args.batch_size),
+            val_batches(ds2_val, max(args.batch_size // 2, 1)),
+            filter_radius_coefficient=0.45,
+            epochs=args.stage2_epochs, lr=1e-3, alpha=1e-3, beta=1e-5,
+            save_path=stage2_path, checkpoint_iterval=10,
+        )
+        timings["stage2_s"] = time.time() - t0
+        with open(os.path.join(args.out, "stage2_history.json"), "w") as f:
+            json.dump({"train": tr_hist, "val": val_hist}, f)
+        log(f"stage 2 done in {timings['stage2_s']:.0f}s: "
+            f"val {val_hist[0]:.5f} -> {val_hist[-1]:.5f}")
+
+    # ------------------------------------------------------------------
+    # stage 3: full WGAN-GP fine-tune, config of record
+    # ------------------------------------------------------------------
+    if not args.skip_gan:
+        log(f"stage 3: WGAN-GP config of record, {args.gan_epochs} epochs")
+        t0 = time.time()
+        trainer = Watermelon(
+            filter_radius_coefficient=0.45,                   # trainingModel.py:60
+            pad_size=320,                                     # :61
+            distance_stack=np.linspace(-4e-4, 0.0, 21)[:-1],  # :62-66
+            input_shape=(args.batch_size, 4, args.rows, args.cols),
+            use_gan=True,
+            perceptual=args.perceptual,
+            dtype=args.dtype,
+            pretrained_part1_path=stage1_path if os.path.exists(stage1_path) else None,
+            pretrained_part2_path=stage2_path if os.path.exists(stage2_path) else None,
+        )
+        img_dir = os.path.join(args.out, "imgs")
+        os.makedirs(img_dir, exist_ok=True)
+        trainer.train(
+            data_loader_train=train_batches(ds_train, args.batch_size),
+            data_loader_val=val_batches(ds_val, max(args.batch_size // 2, 1)),
+            phs_gradient_loss_weight=1,                       # :76-97 weights
+            perceptual_loss_weight=1e-1,
+            pixel_loss_weight=1,
+            TV_loss_weight=1e-3,
+            discriminator_loss_weight=1e-1,
+            epoch_num=args.gan_epochs,
+            lr_G=1e-3,
+            lr_D=1e-3,
+            save_path_G=os.path.join(args.out, "generator.msgpack"),
+            save_path_D=os.path.join(args.out, "discriminator.msgpack"),
+            info_print_interval=50,
+            info_plot_interval=250,
+            loss_metrics_file=os.path.join(args.out, "history.json"),
+            save_path_img=img_dir,
+            checkpoint_iterval=10,
+            discriminator_train_ratio=5,
+            discriminator_lambda=10,
+            visualization_RGBD_AP=ds_val[0],
+            seed=122731,
+            resume_dir=os.path.join(args.out, "resume"),
+        )
+        timings["gan_s"] = time.time() - t0
+        log(f"stage 3 done in {timings['gan_s']:.0f}s")
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+    if not args.skip_eval:
+        log("eval: tools/eval_quality.py")
+        subprocess.run(
+            [sys.executable, "tools/eval_quality.py",
+             "--data", args.data, "--run_dir", args.out,
+             "--rows", str(args.rows), "--cols", str(args.cols),
+             "--val_num", str(args.val_num), "--dtype", args.dtype],
+            check=True,
+        )
+
+    timings["total_s"] = time.time() - t_all
+    with open(os.path.join(args.out, "timings.json"), "w") as f:
+        json.dump(timings, f, indent=1)
+    log(f"quality run complete in {timings['total_s']:.0f}s")
+
+
+if __name__ == "__main__":
+    main()

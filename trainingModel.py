@@ -72,8 +72,10 @@ def train_gan(args):
         filter_radius_coefficient=0.45,              # reference :60
         pad_size=320,                                # reference :61
         distance_stack=np.linspace(-4e-4, 0.0, 21)[:-1],  # reference :62
-        pretrained_model_path_G=None,
-        pretrained_model_path_D=None,
+        pretrained_model_path_G=args.pretrained_G,
+        pretrained_model_path_D=args.pretrained_D,
+        pretrained_part1_path=args.pretrained_part1,
+        pretrained_part2_path=args.pretrained_part2,
         input_shape=(1, 4, args.height, args.width),
         use_gan=args.use_gan,
         perceptual=args.perceptual,
@@ -174,6 +176,17 @@ if __name__ == "__main__":
                              "must divide both padded dims). 0 = off.")
     parser.add_argument('--unet_base_features', type=int, default=64,
                         help="UNet width multiplier (reference architecture = 64).")
+    parser.add_argument('--pretrained_G', type=str, default=None,
+                        help="Whole-generator pretrained msgpack (reference "
+                             "watermelon.py:84-90).")
+    parser.add_argument('--pretrained_D', type=str, default=None,
+                        help="Discriminator pretrained msgpack.")
+    parser.add_argument('--pretrained_part1', type=str, default=None,
+                        help="Stage-1 (RGBD2AP) pretrained msgpack — the "
+                             "two-stage pretrain->fine-tune workflow "
+                             "(reference generator.py:26-28).")
+    parser.add_argument('--pretrained_part2', type=str, default=None,
+                        help="Stage-2 (AP2POH) pretrained msgpack.")
     parser.add_argument('--resume_dir', type=str, default=None,
                         help="Directory for full-train-state checkpoints; restarting "
                              "with the same value resumes from the latest one.")
