@@ -82,13 +82,20 @@ def _run_epochs(
     train_hist, val_hist = [], []
     for epoch in range(epochs):
         train_loss, n_train = 0.0, 0
+        pending = None  # one-step-delayed loss fetch: float(loss) on the
+        # current step would stall the host on the relay round trip every
+        # step, leaving the device idle (same idiom as Watermelon.train)
         for batch in train_batches():
             batch = tuple(jnp.asarray(x) for x in batch)
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, batch
             )
-            train_loss += float(loss)
+            if pending is not None:
+                train_loss += float(pending)
+            pending = loss
             n_train += int(batch[0].shape[0])
+        if pending is not None:
+            train_loss += float(pending)
 
         val_loss, n_val = 0.0, 0
         for batch in val_batches():
