@@ -13,6 +13,7 @@ from .memmap import (
     batch_indices,
     gather_batch,
 )
+from .device import dataset_to_device, device_epoch_loader
 from .prefetch import epoch_loader, prefetch_to_device
 
 __all__ = [
@@ -21,6 +22,8 @@ __all__ = [
     "ImgDepthAmpPhsDataset",
     "ImgDepthDataset",
     "batch_indices",
+    "dataset_to_device",
+    "device_epoch_loader",
     "epoch_loader",
     "gather_batch",
     "get_files_in_dir",

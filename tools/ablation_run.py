@@ -1,0 +1,145 @@
+"""Ablation-ordering study at the config of record (round-2 VERDICT #1).
+
+Trains several reference ablation variants (reference watermelon.py:640-938)
+for the SAME number of epochs from the SAME pretrained stage-1/stage-2 parts
+and the SAME seed, then evaluates each with tools/eval_quality.py.  The
+sanity check the verdict asks for: the full WGAN-GP objective and its
+ablations should order the way the reference paper expects (e.g. dropping
+the modulation conv hurts; the non-GAN variant differs mainly in texture
+sharpness, tracked by SSIM).
+
+The main quality run (tools/quality_run.py) provides the full-GAN trajectory;
+its history at --epochs gives the epoch-matched full-GAN comparison point.
+
+Run:  python tools/ablation_run.py --parts output/quality_run --epochs 15
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+VARIANTS = {
+    # name -> Watermelon constructor overrides (reference watermelon.py:640-938)
+    "without_GAN": dict(use_gan=False),
+    "without_GAN_without_modulation": dict(use_gan=False, use_modulation=False),
+    "without_GAN_and_plain_phase_loss": dict(use_gan=False, phase_loss="plain"),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="data/synth384")
+    ap.add_argument("--parts", default="output/quality_run",
+                    help="dir holding rgbd2ap.msgpack / ap2poh.msgpack")
+    ap.add_argument("--out", default="output/ablations")
+    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--rows", type=int, default=384)
+    ap.add_argument("--cols", type=int, default=384)
+    ap.add_argument("--train_num", type=int, default=500)
+    ap.add_argument("--val_num", type=int, default=100)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--variants", nargs="*", default=list(VARIANTS))
+    args = ap.parse_args()
+
+    from learned_hologram_gan_tpu.data import ImgDepthAmpPhsDataset, epoch_loader
+    from learned_hologram_gan_tpu.train import Watermelon
+    from learned_hologram_gan_tpu.utils import set_seed
+
+    paths = lambda split: dict(  # noqa: E731
+        img_path=f"{args.data}/{split}/img.bin",
+        depth_path=f"{args.data}/{split}/depth.bin",
+        amp_path=f"{args.data}/{split}/amp.bin",
+        phs_path=f"{args.data}/{split}/phs.bin",
+    )
+    common = dict(channels_num=3, height=args.rows, width=args.cols)
+    ds_train = ImgDepthAmpPhsDataset(samples_num=args.train_num,
+                                     **paths("train"), **common)
+    ds_val = ImgDepthAmpPhsDataset(samples_num=args.val_num,
+                                   **paths("val"), **common)
+
+    part1 = os.path.join(args.parts, "rgbd2ap.msgpack")
+    part2 = os.path.join(args.parts, "ap2poh.msgpack")
+    summary = {}
+    for name in args.variants:
+        overrides = VARIANTS[name]
+        out_dir = os.path.join(args.out, name)
+        os.makedirs(out_dir, exist_ok=True)
+        print(f"=== ablation {name}: {args.epochs} epochs ===", flush=True)
+        set_seed(122731)
+        epoch_seed = [122731]
+
+        def loader_train():
+            epoch_seed[0] += 1
+            return epoch_loader(ds_train, args.batch_size, shuffle=True,
+                                drop_last=True, seed=epoch_seed[0])
+
+        def loader_val():
+            return epoch_loader(ds_val, max(args.batch_size // 2, 1),
+                                shuffle=False, drop_last=False)
+
+        trainer = Watermelon(
+            filter_radius_coefficient=0.45,
+            pad_size=320,
+            distance_stack=np.linspace(-4e-4, 0.0, 21)[:-1],
+            input_shape=(args.batch_size, 4, args.rows, args.cols),
+            perceptual="random",
+            dtype=args.dtype,
+            pretrained_part1_path=part1 if os.path.exists(part1) else None,
+            pretrained_part2_path=part2 if os.path.exists(part2) else None,
+            **overrides,
+        )
+        t0 = time.time()
+        trainer.train(
+            data_loader_train=loader_train,
+            data_loader_val=loader_val,
+            phs_gradient_loss_weight=1,
+            perceptual_loss_weight=1e-1,
+            pixel_loss_weight=1,
+            TV_loss_weight=1e-3,
+            discriminator_loss_weight=1e-1,
+            epoch_num=args.epochs,
+            lr_G=1e-3,
+            lr_D=1e-3,
+            save_path_G=os.path.join(out_dir, "generator.msgpack"),
+            save_path_D=None,
+            info_print_interval=50,
+            info_plot_interval=10_000,
+            loss_metrics_file=os.path.join(out_dir, "history.json"),
+            save_path_img=None,
+            checkpoint_iterval=10_000,  # final save only (disk)
+            discriminator_train_ratio=5,
+            discriminator_lambda=10,
+            seed=122731,
+        )
+        print(f"{name} trained in {time.time() - t0:.0f}s", flush=True)
+        subprocess.run(
+            [sys.executable, "tools/eval_quality.py",
+             "--data", args.data, "--run_dir", out_dir,
+             "--rows", str(args.rows), "--cols", str(args.cols),
+             "--val_num", str(args.val_num), "--dtype", args.dtype,
+             "--samples", "0"],
+            check=True,
+        )
+        with open(os.path.join(out_dir, "eval", "summary.json")) as f:
+            s = json.load(f)
+        summary[name] = {"val_PSNR": s["val_PSNR"], "val_SSIM": s["val_SSIM"]}
+        print(json.dumps({name: summary[name]}), flush=True)
+
+    with open(os.path.join(args.out, "ordering.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,9 +63,9 @@ def main() -> None:
 
     from learned_hologram_gan_tpu.config import GeneratorConfig
     from learned_hologram_gan_tpu.data import (
-        AmpPhsDataset,
         ImgDepthAmpPhsDataset,
-        epoch_loader,
+        dataset_to_device,
+        device_epoch_loader,
     )
     from learned_hologram_gan_tpu.models import (
         AP2POH,
@@ -100,18 +100,25 @@ def main() -> None:
     ds_val = ImgDepthAmpPhsDataset(
         samples_num=args.val_num, **paths("val"), **common)
 
+    # Device-resident data: upload each split ONCE, gather batches on-device.
+    # The streaming loader is unusable for multi-hour runs on this host: the
+    # axon relay pins every H2D batch buffer (~500 GB over 50 epochs; the
+    # first attempt was OOM-killed at 130 GB host RSS).  See data/device.py.
+    dev_train = dataset_to_device(ds_train)  # (rgbd, amp, phs01)
+    dev_val = dataset_to_device(ds_val)
+
     epoch_seed = [122731]
 
-    def train_batches(dataset, batch):
+    def train_batches(arrays, batch):
         def fn():
             epoch_seed[0] += 1
-            return epoch_loader(dataset, batch, shuffle=True, drop_last=True,
-                                seed=epoch_seed[0])
+            return device_epoch_loader(arrays, batch, shuffle=True,
+                                       drop_last=True, seed=epoch_seed[0])
         return fn
 
-    def val_batches(dataset, batch):
-        return lambda: epoch_loader(dataset, batch, shuffle=False,
-                                    drop_last=False)
+    def val_batches(arrays, batch):
+        return lambda: device_epoch_loader(arrays, batch, shuffle=False,
+                                           drop_last=False)
 
     # ------------------------------------------------------------------
     # stage 1: RGBD2AP pretrain
@@ -124,8 +131,8 @@ def main() -> None:
         variables = model1.init(jax.random.key(0), rgbd0, train=False)
         _, _, tr_hist, val_hist = train_rgbd2ap(
             model1, variables["params"], variables["batch_stats"],
-            train_batches(ds_train, args.batch_size),
-            val_batches(ds_val, max(args.batch_size // 2, 1)),
+            train_batches(dev_train, args.batch_size),
+            val_batches(dev_val, max(args.batch_size // 2, 1)),
             epochs=args.stage1_epochs, lr=1e-3, alpha=1e-3,
             save_path=stage1_path, checkpoint_iterval=10,
         )
@@ -149,18 +156,14 @@ def main() -> None:
         model2 = AP2POH(kernel_size=3, dtype=dtype)
         amp0 = jnp.zeros((1, 3, args.rows, args.cols), jnp.float32)
         variables = model2.init(jax.random.key(0), plan, amp0, amp0)
-        ds2_train = AmpPhsDataset(
-            amp_path=f"{args.data}/train/amp.bin",
-            phs_path=f"{args.data}/train/phs.bin",
-            samples_num=args.train_num, **common)
-        ds2_val = AmpPhsDataset(
-            amp_path=f"{args.data}/val/amp.bin",
-            phs_path=f"{args.data}/val/phs.bin",
-            samples_num=args.val_num, **common)
+        # AmpPhsDataset semantics from the resident stage-1 arrays: (amp,
+        # 2*pi*phs01), scaled on-device (reference data_loader.py:83)
+        dev2_train = (dev_train[1], 2.0 * jnp.pi * dev_train[2])
+        dev2_val = (dev_val[1], 2.0 * jnp.pi * dev_val[2])
         _, _, tr_hist, val_hist = train_ap2poh(
             model2, plan, variables["params"],
-            train_batches(ds2_train, args.batch_size),
-            val_batches(ds2_val, max(args.batch_size // 2, 1)),
+            train_batches(dev2_train, args.batch_size),
+            val_batches(dev2_val, max(args.batch_size // 2, 1)),
             filter_radius_coefficient=0.45,
             epochs=args.stage2_epochs, lr=1e-3, alpha=1e-3, beta=1e-5,
             save_path=stage2_path, checkpoint_iterval=10,
@@ -191,8 +194,8 @@ def main() -> None:
         img_dir = os.path.join(args.out, "imgs")
         os.makedirs(img_dir, exist_ok=True)
         trainer.train(
-            data_loader_train=train_batches(ds_train, args.batch_size),
-            data_loader_val=val_batches(ds_val, max(args.batch_size // 2, 1)),
+            data_loader_train=train_batches(dev_train, args.batch_size),
+            data_loader_val=val_batches(dev_val, max(args.batch_size // 2, 1)),
             phs_gradient_loss_weight=1,                       # :76-97 weights
             perceptual_loss_weight=1e-1,
             pixel_loss_weight=1,
@@ -210,7 +213,7 @@ def main() -> None:
             checkpoint_iterval=10,
             discriminator_train_ratio=5,
             discriminator_lambda=10,
-            visualization_RGBD_AP=ds_val[0],
+            visualization_RGBD_AP=tuple(a[0] for a in dev_val),
             seed=122731,
             resume_dir=os.path.join(args.out, "resume"),
         )
