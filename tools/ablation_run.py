@@ -52,7 +52,11 @@ def main() -> None:
     ap.add_argument("--variants", nargs="*", default=list(VARIANTS))
     args = ap.parse_args()
 
-    from learned_hologram_gan_tpu.data import ImgDepthAmpPhsDataset, epoch_loader
+    from learned_hologram_gan_tpu.data import (
+        ImgDepthAmpPhsDataset,
+        dataset_to_device,
+        device_epoch_loader,
+    )
     from learned_hologram_gan_tpu.train import Watermelon
     from learned_hologram_gan_tpu.utils import set_seed
 
@@ -67,6 +71,9 @@ def main() -> None:
                                      **paths("train"), **common)
     ds_val = ImgDepthAmpPhsDataset(samples_num=args.val_num,
                                    **paths("val"), **common)
+    # device-resident (relay H2D leak + bandwidth; see data/device.py)
+    dev_train = dataset_to_device(ds_train)
+    dev_val = dataset_to_device(ds_val)
 
     part1 = os.path.join(args.parts, "rgbd2ap.msgpack")
     part2 = os.path.join(args.parts, "ap2poh.msgpack")
@@ -81,12 +88,13 @@ def main() -> None:
 
         def loader_train():
             epoch_seed[0] += 1
-            return epoch_loader(ds_train, args.batch_size, shuffle=True,
-                                drop_last=True, seed=epoch_seed[0])
+            return device_epoch_loader(dev_train, args.batch_size,
+                                       shuffle=True, drop_last=True,
+                                       seed=epoch_seed[0])
 
         def loader_val():
-            return epoch_loader(ds_val, max(args.batch_size // 2, 1),
-                                shuffle=False, drop_last=False)
+            return device_epoch_loader(dev_val, max(args.batch_size // 2, 1),
+                                       shuffle=False, drop_last=False)
 
         trainer = Watermelon(
             filter_radius_coefficient=0.45,
