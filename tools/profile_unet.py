@@ -110,7 +110,11 @@ def main():
         stages.append((name, run, (variables, x), fl, by))
 
     def convt_stage(name, h, w, cin, cout):
-        ct = nn.ConvTranspose(cout, (2, 2), strides=(2, 2), dtype=dtype)
+        # the UNet's actual up-conv: GEMM + pixel shuffle (blocks.py), bit-
+        # equal to ConvTranspose(2,2,stride 2) but MXU-shaped
+        from learned_hologram_gan_tpu.nn.blocks import PixelShuffleConvTranspose
+
+        ct = PixelShuffleConvTranspose(cout, dtype=dtype)
         x = jax.random.normal(key, (B, h, w, cin), dtype)
         variables = ct.init(jax.random.key(1), x)
         run = jax.jit(lambda v, x: ct.apply(v, x))

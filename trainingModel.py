@@ -55,18 +55,50 @@ def train_gan(args):
     seed = 122731  # reference trainingModel.py:18
     epoch_seed = [seed]
 
-    def loader_train():
-        epoch_seed[0] += 1
-        return epoch_loader(
-            dataset_train, args.batch_size, shuffle=True, drop_last=True,
-            seed=epoch_seed[0], sharding=sharding,
+    if args.device_resident_data:
+        # Upload both splits to HBM once; batches are on-device gathers.
+        # Required for multi-hour runs on relay-attached hosts (every H2D
+        # batch transfer pins its host buffer — see data/device.py) and
+        # faster everywhere the dataset fits HBM.
+        from learned_hologram_gan_tpu.data import (
+            dataset_to_device,
+            device_epoch_loader,
         )
 
-    def loader_val():
-        return epoch_loader(
-            dataset_validate, max(args.batch_size // 2, 1), shuffle=False,
-            drop_last=False, sharding=sharding,
-        )
+        if sharding is not None:
+            raise SystemExit(
+                "--device_resident_data with --mesh_devices is not supported "
+                "yet: resident arrays would need per-device sharding. Use "
+                "the streaming loader under a mesh."
+            )
+        dev_train = dataset_to_device(dataset_train)
+        dev_val = dataset_to_device(dataset_validate)
+
+        def loader_train():
+            epoch_seed[0] += 1
+            return device_epoch_loader(
+                dev_train, args.batch_size, shuffle=True, drop_last=True,
+                seed=epoch_seed[0],
+            )
+
+        def loader_val():
+            return device_epoch_loader(
+                dev_val, max(args.batch_size // 2, 1), shuffle=False,
+                drop_last=False,
+            )
+    else:
+        def loader_train():
+            epoch_seed[0] += 1
+            return epoch_loader(
+                dataset_train, args.batch_size, shuffle=True, drop_last=True,
+                seed=epoch_seed[0], sharding=sharding,
+            )
+
+        def loader_val():
+            return epoch_loader(
+                dataset_validate, max(args.batch_size // 2, 1), shuffle=False,
+                drop_last=False, sharding=sharding,
+            )
 
     trainer = Watermelon(
         filter_radius_coefficient=0.45,              # reference :60
@@ -198,6 +230,10 @@ if __name__ == "__main__":
                         help="Fold the fixed and focal transfer functions of "
                              "the hat branch into one (skips the padded-"
                              "spectrum round trip; O(1e-3) numeric deviation).")
+    parser.add_argument('--device_resident_data', action='store_true',
+                        help="Upload the whole dataset to device HBM once and "
+                             "gather batches on-device (zero per-step H2D; "
+                             "needed for multi-hour runs on relay hosts).")
     parser.add_argument('--remat', action='store_true',
                         help="Activation checkpointing through the UNet (high-res training).")
     parser.add_argument('--no_cache_h', action='store_true',
