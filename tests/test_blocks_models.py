@@ -99,6 +99,7 @@ def test_double_phase_encode_reconstructs_field():
     np.testing.assert_allclose(poh[0, 0][board], phi2[0, 0][board], atol=1e-5)
 
 
+@pytest.mark.slow  # tiering: 90-190s each on the 1-core host; fast coverage via test_fused_unet + golden
 def test_generator_end_to_end_shapes():
     cfg = small_gen_config()
     gen = Generator(cfg)
@@ -110,6 +111,7 @@ def test_generator_end_to_end_shapes():
     assert np.isfinite(np.asarray(poh)).all()
 
 
+@pytest.mark.slow  # tiering: 90-190s each on the 1-core host; fast coverage via test_fused_unet + golden
 def test_generator_resolution_agnostic():
     """Fully convolutional: the same params run at a different resolution."""
     cfg = small_gen_config()
@@ -153,6 +155,7 @@ def test_fake_discriminator_constant_zero_with_param():
     assert "a" in vars_["params"]
 
 
+@pytest.mark.slow  # tiering: 90-190s each on the 1-core host; fast coverage via test_fused_unet + golden
 def test_resnet_family_shapes():
     """miniResNet / ResNet / ResNetPOH / RGBDUNet / Fourier UNet run-throughs."""
     x = jnp.ones((1, 16, 16, 4))

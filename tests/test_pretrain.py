@@ -4,6 +4,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 from learned_hologram_gan_tpu.config import OpticsConfig
 from learned_hologram_gan_tpu.models import AP2POH, RGBD2AP
@@ -30,6 +31,7 @@ def test_reduce_lr_on_plateau_semantics():
     assert s2.step(1.0) == 1e-6
 
 
+@pytest.mark.slow  # tiering: 83s; ap2poh smoke + quality_run cover the loop
 def test_train_rgbd2ap_smoke(tmp_path):
     model = RGBD2AP(base_features=2)
     rgbd = RNG.random((2, 4, 16, 16)).astype(np.float32)

@@ -75,6 +75,7 @@ def test_gan_training_runs_and_records_history(tmp_path):
     assert os.path.exists(tmp_path / "D.msgpack")
 
 
+@pytest.mark.slow  # tiering: 65s; default tier keeps the composed-path GAN e2e
 def test_two_h_hat_step_tracks_composed_path():
     """One train step with two_h_hat=True stays within the documented O(1e-3)
     deviation of the composed-spectrum path (same seed, same batch)."""
