@@ -73,7 +73,20 @@ def load_generator_part(state: TrainState, path: str, part: str) -> TrainState:
     The reference supports per-part pretrained paths with optional freezing
     (generator.py:26-28, RGBD2AP.py:37-41); freezing is an optimizer concern
     here (see ``optax.masked`` usage in pretrain.py).
+
+    Ablation variants can REMOVE a part's parameters entirely (e.g.
+    ``use_modulation=False`` swaps AP2POH's symmetric conv for the
+    parameter-less identity stub, so ``part2`` has no subtree).  Loading
+    pretrained weights into a part that does not exist is skipped with a
+    loud warning instead of raising — the weights are meaningless for the
+    stub by construction.
     """
+    if part not in state.params_G:
+        print(
+            f"WARNING: generator has no parameters under {part!r} (ablation "
+            f"stub); skipping pretrained load from {path}"
+        )
+        return state
     tpl = {
         "params": state.params_G[part],
         "batch_stats": state.batch_stats_G.get(part, {}),
