@@ -97,6 +97,7 @@ def load_generator_part(state: TrainState, path: str, part: str) -> TrainState:
     batch_stats_G = dict(state.batch_stats_G)
     if loaded["batch_stats"]:
         batch_stats_G[part] = loaded["batch_stats"]
+    print(f"Generator {part} loaded from {path}")
     return state.replace(params_G=params_G, batch_stats_G=batch_stats_G)
 
 

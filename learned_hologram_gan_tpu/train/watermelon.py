@@ -174,11 +174,9 @@ class Watermelon:
         if self.pretrained_part1_path:
             self.state = ckpt_lib.load_generator_part(
                 self.state, self.pretrained_part1_path, "part1")
-            print(f"Generator part1 (RGBD2AP) loaded from {self.pretrained_part1_path}")
         if self.pretrained_part2_path:
             self.state = ckpt_lib.load_generator_part(
                 self.state, self.pretrained_part2_path, "part2")
-            print(f"Generator part2 (AP2POH) loaded from {self.pretrained_part2_path}")
 
     # ------------------------------------------------------------------
     def train(
