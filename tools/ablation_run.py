@@ -131,14 +131,14 @@ def main() -> None:
             seed=122731,
         )
         print(f"{name} trained in {time.time() - t0:.0f}s", flush=True)
-        subprocess.run(
-            [sys.executable, "tools/eval_quality.py",
-             "--data", args.data, "--run_dir", out_dir,
-             "--rows", str(args.rows), "--cols", str(args.cols),
-             "--val_num", str(args.val_num), "--dtype", args.dtype,
-             "--samples", "0"],
-            check=True,
-        )
+        eval_cmd = [sys.executable, "tools/eval_quality.py",
+                    "--data", args.data, "--run_dir", out_dir,
+                    "--rows", str(args.rows), "--cols", str(args.cols),
+                    "--val_num", str(args.val_num), "--dtype", args.dtype,
+                    "--samples", "0"]
+        if not overrides.get("use_modulation", True):
+            eval_cmd.append("--no_modulation")
+        subprocess.run(eval_cmd, check=True)
         with open(os.path.join(out_dir, "eval", "summary.json")) as f:
             s = json.load(f)
         summary[name] = {"val_PSNR": s["val_PSNR"], "val_SSIM": s["val_SSIM"]}

@@ -46,6 +46,9 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--samples", type=int, nargs="*", default=[0, 1, 2],
                     help="val indices for the focal-stack grids")
+    ap.add_argument("--no_modulation", action="store_true",
+                    help="checkpoint was trained with use_modulation=False "
+                         "(ablation: no part2 subtree in the saved state)")
     args = ap.parse_args()
     out_dir = args.out or os.path.join(args.run_dir, "eval")
     os.makedirs(out_dir, exist_ok=True)
@@ -82,6 +85,7 @@ def main() -> None:
         pretrained_model_path_G=g_path,
         input_shape=(args.batch, 4, h, w),
         use_gan=False, perceptual="none", dtype=args.dtype,
+        use_modulation=not args.no_modulation,
     )
     trainer._init_state(seed=0, lr_G=1e-3, lr_D=1e-3)
 
