@@ -49,6 +49,13 @@ def main() -> None:
     ap.add_argument("--no_modulation", action="store_true",
                     help="checkpoint was trained with use_modulation=False "
                          "(ablation: no part2 subtree in the saved state)")
+    ap.add_argument("--num_planes", type=int, default=20,
+                    help="focal-stack planes over [-4e-4, 0) for the metrics")
+    ap.add_argument("--no_cache_h", action="store_true",
+                    help="compute transfer functions on the fly (high-res: "
+                         "a 20-plane cached H stack at 1080p is ~2 GB HBM)")
+    ap.add_argument("--unet_base_features", type=int, default=64,
+                    help="must match the trained checkpoint (CPU smoke: 2-8)")
     args = ap.parse_args()
     out_dir = args.out or os.path.join(args.run_dir, "eval")
     os.makedirs(out_dir, exist_ok=True)
@@ -81,11 +88,13 @@ def main() -> None:
     trainer = Watermelon(
         filter_radius_coefficient=args.filter_radius_coefficient,
         pad_size=args.pad_size,
-        distance_stack=np.linspace(-4e-4, 0.0, 21)[:-1],
+        distance_stack=np.linspace(-4e-4, 0.0, args.num_planes + 1)[:-1],
         pretrained_model_path_G=g_path,
         input_shape=(args.batch, 4, h, w),
         use_gan=False, perceptual="none", dtype=args.dtype,
         use_modulation=not args.no_modulation,
+        cache_h=not args.no_cache_h,
+        unet_base_features=args.unet_base_features,
     )
     trainer._init_state(seed=0, lr_G=1e-3, lr_D=1e-3)
 
