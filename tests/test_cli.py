@@ -125,3 +125,31 @@ def test_warming_up_resnet_example():
     r = run_cli(["examples/warming_up_resnet.py", "--cpu", "--steps", "60"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "all assertions passed" in r.stdout
+
+
+@pytest.mark.slow
+def test_finetune_highres_tool(tmp_path):
+    """Resolution-transfer workflow (tools/finetune_highres.py): synthesize a
+    tiny physically-consistent dataset, fine-tune from random init, and
+    evaluate — the same pipeline the 1080p transfer run uses, at smoke shapes."""
+    data = tmp_path / "synth"
+    r = run_cli([
+        "tools/make_synthetic_dataset.py", "--out", str(data),
+        "--rows", "32", "--cols", "32", "--pad_size", "8",
+        "--train_num", "4", "--val_num", "2", "--batch", "2", "--layers", "4",
+    ], timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = tmp_path / "ft"
+    r = run_cli([
+        "tools/finetune_highres.py", "--data", str(data), "--out", str(out),
+        "--init", "", "--rows", "32", "--cols", "32", "--pad_size", "8",
+        "--train_num", "4", "--val_num", "2", "--batch_size", "2",
+        "--epochs", "1", "--distances", "3", "--eval_planes", "3",
+        "--unet_base_features", "2", "--dtype", "float32",
+    ], timeout=1500)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(out / "generator.msgpack")
+    with open(out / "eval" / "summary.json") as f:
+        summary = json.load(f)
+    assert np.isfinite(summary["val_PSNR"])
+    assert len(summary["per_plane_PSNR"]) == 3
