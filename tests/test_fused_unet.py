@@ -97,3 +97,46 @@ def test_generator_fused_jits():
 
     out = fwd(dict(variables), plan, rgbd)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("levels", [2, 4])
+def test_unet_polyphase_level0_matches_module(dtype, levels):
+    """The space-to-depth level-0 path is EXACT math: same param tree, same
+    output as the module apply (conv reassociation tolerance only)."""
+    size = 16 if levels == 2 else 32
+    unet = UNet(output_channels=6, base_features=4, levels=levels, dtype=dtype)
+    x = jnp.asarray(RNG.random((2, size, size, 4)).astype(np.float32), dtype)
+    variables = unet.init(jax.random.key(0), x, True)
+    stats = _nontrivial_stats(variables)
+    want = np.asarray(
+        unet.apply(
+            {"params": variables["params"], "batch_stats": stats}, x, False
+        ),
+        np.float32,
+    )
+    got = np.asarray(
+        unet_apply_fused(variables["params"], stats, x, polyphase_level0=True),
+        np.float32,
+    )
+    tol = 3e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+def test_space_to_depth_roundtrip_and_order():
+    from learned_hologram_gan_tpu.nn.fused_unet import (
+        depth_to_space,
+        space_to_depth,
+    )
+
+    x = jnp.asarray(RNG.random((1, 4, 6, 3)).astype(np.float32))
+    y = space_to_depth(x)
+    assert y.shape == (1, 2, 3, 12)
+    # phase-major layout: channel (di*2+dj)*C + c holds x[:, 2i+di, 2j+dj, c]
+    for di in (0, 1):
+        for dj in (0, 1):
+            np.testing.assert_array_equal(
+                np.asarray(y[0, :, :, (di * 2 + dj) * 3 : (di * 2 + dj + 1) * 3]),
+                np.asarray(x[0, di::2, dj::2, :]),
+            )
+    np.testing.assert_array_equal(np.asarray(depth_to_space(y)), np.asarray(x))
