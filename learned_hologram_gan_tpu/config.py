@@ -83,6 +83,9 @@ class GeneratorConfig:
     use_modulation: bool = True  # False = ablation fakeChannelWiseSymmetricConv
     dtype: str = "float32"  # compute dtype for conv blocks ("bfloat16" on TPU)
     remat: bool = False  # activation checkpointing through the UNet (1080p/4K)
+    # UNet level 0 in the space-to-depth phase domain: exact math, same
+    # param tree, MXU-shaped geometry (nn/polyphase.py; BASELINE.md round 3)
+    polyphase_level0: bool = False
     pad_cols_override: Optional[int] = None  # see OpticsConfig
 
     def optics(self) -> OpticsConfig:

@@ -61,6 +61,7 @@ class RGBD2AP(nn.Module):
     base_features: int = 64
     fourier: bool = False
     remat: bool = False
+    polyphase_level0: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -72,6 +73,7 @@ class RGBD2AP(nn.Module):
             base_features=self.base_features,
             fourier=self.fourier,
             remat=self.remat,
+            polyphase_level0=self.polyphase_level0,
             dtype=self.dtype,
             name="unet",
         )(nchw_to_nhwc(rgbd), train)
@@ -147,6 +149,7 @@ class Generator(nn.Module):
             amplitude_scaler=self.config.amplitude_scaler,
             base_features=self.config.unet_base_features,
             remat=self.config.remat,
+            polyphase_level0=self.config.polyphase_level0,
             dtype=dtype,
         )
         self.part2 = AP2POH(
@@ -178,15 +181,18 @@ def generator_apply_fused(
     variables,
     plan: asm.PropagatorPlan,
     rgbd: jnp.ndarray,
+    *,
+    polyphase_level0: bool = False,
 ) -> jnp.ndarray:
     """Eval-only Generator forward with the fused-UNet inference fast path.
 
     Identical math to ``generator.apply(..., train=False)`` — stage 1 runs
     through :func:`~learned_hologram_gan_tpu.nn.fused_unet.unet_apply_fused`
-    (BN folded into convs, residual blocks in one Pallas kernel each where
-    VMEM allows), stage 2 through the normal module.  Falls back to the plain
-    module apply for trees the fast path doesn't understand (fourier UNet).
-    Equivalence pinned by tests/test_fused_unet.py.
+    (BN folded into convs; level 0 in the space-to-depth phase domain, the
+    384^2-class bandwidth fix — see nn/fused_unet.py), stage 2 through the
+    normal module.  Falls back to the plain module apply for trees the fast
+    path doesn't understand (fourier UNet).  Equivalence pinned by
+    tests/test_fused_unet.py.
     """
     from ..nn.fused_unet import supported, unet_apply_fused
 
@@ -205,6 +211,7 @@ def generator_apply_fused(
         unet_params,
         batch_stats["part1"]["unet"],
         nchw_to_nhwc(rgbd).astype(dtype),
+        polyphase_level0=polyphase_level0,
     )
     y = nhwc_to_nchw(y).astype(jnp.float32)
     amp = generator.config.amplitude_scaler * y[:, :3]

@@ -76,6 +76,133 @@ class ResidualBlock(nn.Module):
         return nn.relu(y + x)
 
 
+class _ConvParams(nn.Module):
+    """Raw conv parameters with ``nn.Conv``'s tree layout ({kernel, bias}).
+
+    Lets the polyphase level-0 path declare parameters that are bit-identical
+    (same names, shapes, initializers, RNG fold path) to the standard
+    modules', so checkpoints interchange between the two compute paths.
+    """
+
+    features: int
+    in_features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            conv_init,
+            (self.kernel_size, self.kernel_size, self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _PolyBatchNorm(nn.Module):
+    """BatchNorm over phase-major (N, h, w, 4C) input, per ORIGINAL channel.
+
+    Statistics reduce over the phase axis as well, so they equal the
+    standard-domain (N, 2h, 2w, C) statistics exactly (the phases partition
+    the pixels).  Mirrors ``nn.BatchNorm`` semantics: f32 fast-variance
+    stats, momentum 0.99 running averages (skipped at init), scale/bias cast
+    to the compute dtype before use.
+    """
+
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x4: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
+        from .polyphase import tile4
+
+        c = x4.shape[-1] // 4
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,)
+        )
+        # "at least f32" like flax._compute_stats (keeps f64 under x64)
+        stat_dtype = jnp.promote_types(x4.dtype, jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x4.astype(stat_dtype).reshape(*x4.shape[:3], 4, c)
+            mean = jnp.mean(xf, axis=(0, 1, 2, 3))
+            mean2 = jnp.mean(xf * xf, axis=(0, 1, 2, 3))
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        mul = jax.lax.rsqrt(
+            var.astype(stat_dtype) + self.epsilon
+        ) * scale.astype(self.dtype).astype(stat_dtype)
+        y = (x4.astype(stat_dtype) - tile4(mean.astype(stat_dtype))) * tile4(
+            mul
+        ) + tile4(bias.astype(self.dtype).astype(stat_dtype))
+        return y.astype(self.dtype)
+
+
+class PolyResidualBlock(nn.Module):
+    """ResidualBlock computed in the space-to-depth phase domain (exact).
+
+    Same parameter tree as :class:`ResidualBlock` (Conv_0/BatchNorm_0/Conv_1/
+    BatchNorm_1/Conv_2); input and output are phase-major (N, h, w, 4C).
+    Differentiable — this is the TRAINING form of the level-0 fix; see
+    nn/polyphase.py for the derivation and measurements.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x4: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        from .polyphase import poly_conv1x1, poly_conv3x3
+
+        cin = x4.shape[-1] // 4
+        k0, b0 = _ConvParams(self.features, cin, 3, name="Conv_0")()
+        k1, b1 = _ConvParams(self.features, self.features, 3, name="Conv_1")()
+        k2, b2 = _ConvParams(self.features, cin, 1, name="Conv_2")()
+        x4 = x4.astype(self.dtype)
+        y = poly_conv3x3(x4, k0.astype(self.dtype), b0)
+        y = _PolyBatchNorm(dtype=self.dtype, name="BatchNorm_0")(y, not train)
+        y = nn.relu(y)
+        y = poly_conv3x3(y, k1.astype(self.dtype), b1)
+        y = _PolyBatchNorm(dtype=self.dtype, name="BatchNorm_1")(y, not train)
+        sc = poly_conv1x1(x4, k2.astype(self.dtype), b2)
+        return nn.relu(y + sc)
+
+
+class _PolyUpConv(nn.Module):
+    """PixelShuffleConvTranspose with the output kept phase-major.
+
+    Same parameter tree (kernel (2, 2, Cin, Cout) HWIO + bias); the GEMM's
+    columns are already phase-major so the shuffle transpose is dropped.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from .polyphase import poly_upconv_gemm
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", conv_transpose_init, (2, 2, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return poly_upconv_gemm(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias
+        )
+
+
 class SymmetricConv2d(nn.Module):
     """Radially-symmetric single-channel conv: one learnable scalar per unique
     squared distance from the kernel center, expanded via a static index map.
@@ -288,15 +415,19 @@ class UNet(nn.Module):
     levels: int = 4
     fourier: bool = False
     remat: bool = False  # activation checkpointing per conv block (1080p/4K)
+    polyphase_level0: bool = False  # level 0 in the s2d phase domain (exact)
     dtype: Dtype = jnp.float32
 
-    def _block(self, feats: int, name: str):
-        cls = FourierBlock if self.fourier else None
-        if cls is None:
+    def _block(self, feats: int, name: str, poly: bool = False):
+        if poly:
+            cls = PolyResidualBlock
+            kwargs = dict(dtype=self.dtype)
+        elif self.fourier:
+            cls = FourierBlock
+            kwargs = dict(dtype=self.dtype)
+        else:
             cls = ResidualBlock
             kwargs = dict(use_1x1conv=True, dtype=self.dtype)
-        else:
-            kwargs = dict(dtype=self.dtype)
         if self.remat:
             # rematerialize each block's activations in the backward pass —
             # trades FLOPs for the memory that dominates at 1080p/4K
@@ -307,10 +438,36 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        from .polyphase import (
+            depth_to_space,
+            poly_concat,
+            poly_conv1x1,
+            poly_pool,
+            space_to_depth,
+        )
+
+        # Polyphase level 0 (nn/polyphase.py): same parameter tree, exact
+        # math, 192^2 x 4C geometry instead of the bandwidth-hostile
+        # 384^2 x C — the conv-path fix measured in BASELINE.md round 3.
+        poly = (
+            self.polyphase_level0
+            and not self.fourier
+            and self.levels > 1
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
         skips = []
-        y = x
+        if poly:
+            x4 = space_to_depth(x)
+            s0 = self._block(self.base_features, "enc_0", poly=True)(x4, train)
+            skips.append(s0)  # kept phase-major
+            y = poly_pool(s0)
+        else:
+            y = self._block(self.base_features, "enc_0")(x, train)
+            skips.append(y)
+            y = nn.max_pool(y, (2, 2), strides=(2, 2))
         # Encoder: block at base * 2^i, then 2x2 max-pool between levels.
-        for i in range(self.levels):
+        for i in range(1, self.levels):
             y = self._block(self.base_features * (2**i), f"enc_{i}")(y, train)
             skips.append(y)
             y = nn.max_pool(y, (2, 2), strides=(2, 2))
@@ -319,23 +476,45 @@ class UNet(nn.Module):
         # PixelShuffleConvTranspose); explicit names keep the param tree
         # identical to the original nn.ConvTranspose auto-naming.
         y = self._block(self.base_features * (2**self.levels), "bottleneck")(y, train)
-        y = PixelShuffleConvTranspose(
-            self.base_features * (2 ** (self.levels - 1)),
-            dtype=self.dtype,
-            name="ConvTranspose_0",
-        )(y)
+        if self.levels > 1:  # levels == 1: the bottleneck up IS the final up
+            y = PixelShuffleConvTranspose(
+                self.base_features * (2 ** (self.levels - 1)),
+                dtype=self.dtype,
+                name="ConvTranspose_0",
+            )(y)
         # Decoder: concat skip (doubling channels), block back down to
         # base * 2^i, up-conv to base * 2^(i-1) (reference :274-289: decoder1
         # maps cat(512, 512) -> 512 -> up 256, ... decoder4 -> 64).
-        for i in reversed(range(self.levels)):
+        for i in reversed(range(1, self.levels)):
             y = jnp.concatenate([skips[i], y], axis=-1)
             y = self._block(self.base_features * (2**i), f"dec_{i}")(y, train)
-            if i > 0:
+            if i > 1:
                 y = PixelShuffleConvTranspose(
                     self.base_features * (2 ** (i - 1)),
                     dtype=self.dtype,
                     name=f"ConvTranspose_{self.levels - i}",
                 )(y)
+        if poly:
+            y = _PolyUpConv(
+                self.base_features,
+                dtype=self.dtype,
+                name=f"ConvTranspose_{self.levels - 1}",
+            )(y)
+            y = poly_concat(skips[0], y)
+            y = self._block(self.base_features, "dec_0", poly=True)(y, train)
+            cin = self.base_features
+            kh, bh = _ConvParams(self.output_channels, cin, 1, name="Conv_0")()
+            y = poly_conv1x1(
+                y.astype(self.dtype), kh.astype(self.dtype), bh
+            )
+            return nn.sigmoid(depth_to_space(y))
+        y = PixelShuffleConvTranspose(
+            self.base_features,
+            dtype=self.dtype,
+            name=f"ConvTranspose_{self.levels - 1}",
+        )(y)
+        y = jnp.concatenate([skips[0], y], axis=-1)
+        y = self._block(self.base_features, "dec_0")(y, train)
         y = _conv(self.output_channels, 1, 1, self.dtype)(y)
         return nn.sigmoid(y)
 

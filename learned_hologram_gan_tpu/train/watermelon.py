@@ -77,6 +77,7 @@ class Watermelon:
         spatial_mesh=None,
         critic_batching: str = "pair",
         two_h_hat: bool = False,
+        polyphase_level0: bool = False,
     ):
         # remat + cache_h=False are the single-chip high-resolution levers:
         # activation checkpointing through the UNet, and no cached transfer-
@@ -103,6 +104,7 @@ class Watermelon:
             dtype=dtype,
             unet_base_features=unet_base_features,
             remat=remat,
+            polyphase_level0=polyphase_level0,
         )
         self.disc_config = DiscriminatorConfig(feature_d=feature_d, dtype=dtype)
         self.spatial_mesh = spatial_mesh

@@ -93,6 +93,44 @@ def main() -> None:
         f"poly speedup vs module: {results['module'] / results['poly']:.2f}x"
     )
 
+    # ---- per-stage probe: standard vs phase-domain level-0 blocks ----
+    import time as _t
+
+    from learned_hologram_gan_tpu.nn.blocks import ResidualBlock
+    from learned_hologram_gan_tpu.nn.fused_unet import (
+        _block_eval,
+        _block_eval_poly,
+        space_to_depth,
+    )
+
+    def probe(name, fn, *xs):
+        out = fn(*xs)
+        float(_absum(out))
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = _t.perf_counter()
+            out = fn(*xs)
+            float(_absum(out))
+            best = min(best, _t.perf_counter() - t0)
+        print(f"{name:26s} {best * 1e3:8.2f} ms", flush=True)
+
+    key = jax.random.key(3)
+    for label, cin in (("enc_0", 4), ("dec_0", 2 * args.base)):
+        blk = ResidualBlock(args.base, use_1x1conv=True, dtype=dtype)
+        xs = jax.random.normal(key, (args.batch, args.size, args.size, cin), dtype)
+        v = blk.init(jax.random.key(4), xs, False)
+        p, bs = v["params"], v["batch_stats"]
+        probe(
+            f"{label} std {args.size}^2x{cin}",
+            jax.jit(lambda p, bs, x: _block_eval(p, bs, x, False)),
+            p, bs, xs,
+        )
+        probe(
+            f"{label} poly {args.size // 2}^2x{4 * cin}",
+            jax.jit(lambda p, bs, x: _block_eval_poly(p, bs, space_to_depth(x))),
+            p, bs, xs,
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -54,7 +54,12 @@ def main() -> None:
     ap.add_argument("--stage2_epochs", type=int, default=20)
     ap.add_argument("--gan_epochs", type=int, default=50)  # README.md:47-67
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--data_dtype", default="float32",
+                    help="device-resident dataset storage dtype; 'bfloat16' "
+                         "halves the HBM footprint (needed at batch 16)")
     ap.add_argument("--perceptual", default="random")
+    ap.add_argument("--remat", action="store_true",
+                    help="UNet activation checkpointing (HBM fallback)")
     ap.add_argument("--skip_stage1", action="store_true")
     ap.add_argument("--skip_stage2", action="store_true")
     ap.add_argument("--skip_gan", action="store_true")
@@ -104,8 +109,9 @@ def main() -> None:
     # The streaming loader is unusable for multi-hour runs on this host: the
     # axon relay pins every H2D batch buffer (~500 GB over 50 epochs; the
     # first attempt was OOM-killed at 130 GB host RSS).  See data/device.py.
-    dev_train = dataset_to_device(ds_train)  # (rgbd, amp, phs01)
-    dev_val = dataset_to_device(ds_val)
+    data_dtype = jnp.bfloat16 if args.data_dtype == "bfloat16" else None
+    dev_train = dataset_to_device(ds_train, dtype=data_dtype)  # (rgbd, amp, phs01)
+    dev_val = dataset_to_device(ds_val, dtype=data_dtype)
 
     epoch_seed = [122731]
 
@@ -188,6 +194,7 @@ def main() -> None:
             use_gan=True,
             perceptual=args.perceptual,
             dtype=args.dtype,
+            remat=args.remat,
             pretrained_part1_path=stage1_path if os.path.exists(stage1_path) else None,
             pretrained_part2_path=stage2_path if os.path.exists(stage2_path) else None,
         )
