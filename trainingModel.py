@@ -120,6 +120,7 @@ def train_gan(args):
                       if args.spatial_mesh_devices else None),
         critic_batching=args.critic_batching,
         two_h_hat=args.two_h_hat,
+        polyphase_level0=args.polyphase_level0,
     )
 
     check_and_create_folder(os.path.dirname(args.save_path_G))
@@ -230,6 +231,12 @@ if __name__ == "__main__":
                         help="Fold the fixed and focal transfer functions of "
                              "the hat branch into one (skips the padded-"
                              "spectrum round trip; O(1e-3) numeric deviation).")
+    parser.add_argument('--polyphase_level0', action='store_true',
+                        help="Compute UNet level 0 in the space-to-depth "
+                             "phase domain (exact, same checkpoint tree; "
+                             "measured slower on v5e/this-XLA — see "
+                             "BASELINE.md round-3 conv study — kept for "
+                             "other chips/compilers).")
     parser.add_argument('--device_resident_data', action='store_true',
                         help="Upload the whole dataset to device HBM once and "
                              "gather batches on-device (zero per-step H2D; "
