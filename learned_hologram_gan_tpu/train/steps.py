@@ -152,6 +152,7 @@ def _g_loss_terms(
     hat_phs,
     target_phs,
     loss_from_discriminator,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """The 5-term weighted generator loss (reference G_loss, watermelon.py:418-445)."""
     phase_fn = PHASE_LOSSES[loss_cfg.phase_loss]
@@ -159,10 +160,13 @@ def _g_loss_terms(
     if loss_cfg.perceptual == "none":
         p_loss = jnp.float32(0.0)
     else:
-        p_loss = (
-            perceptual_loss(vgg_params, hat_amps, target_amps)
-            * loss_cfg.perceptual_loss_weight
-        )
+        p_fn = lambda h, t: perceptual_loss(vgg_params, h, t)  # noqa: E731
+        if remat:
+            # the VGG19 tower's activations at 384^2 x batch 16 (hat AND
+            # target sides) are the largest residual block of the G loss —
+            # recompute them in the backward pass instead of keeping them
+            p_fn = jax.checkpoint(p_fn)
+        p_loss = p_fn(hat_amps, target_amps) * loss_cfg.perceptual_loss_weight
     pixel_loss = mse(hat_amps, target_amps) * loss_cfg.pixel_loss_weight
     tv_loss = total_variation_loss(hat_amps, target_amps) * loss_cfg.tv_loss_weight
     gan_loss = loss_from_discriminator * loss_cfg.discriminator_loss_weight
@@ -410,6 +414,7 @@ def build_train_step(
             loss, terms = _g_loss_terms(
                 loss_cfg, state.vgg_params, h_amps, target_amps_d,
                 h_phs, jax.lax.stop_gradient(target_phs), loss_from_d,
+                remat=remat,
             )
             return loss, terms
 
