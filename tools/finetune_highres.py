@@ -63,6 +63,10 @@ def main() -> None:
     ap.add_argument("--unet_base_features", type=int, default=64,
                     help="reduce for CPU smoke tests")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--data_dtype", default="bfloat16",
+                    help="device-resident dataset storage dtype; bfloat16 "
+                         "halves HBM (48 train samples at 1080p are 4.0 GB "
+                         "in f32 — that margin is what the train step needs)")
     args = ap.parse_args()
 
     from learned_hologram_gan_tpu.data import (
@@ -87,8 +91,10 @@ def main() -> None:
                                      **paths("train"), **common)
     ds_val = ImgDepthAmpPhsDataset(samples_num=args.val_num,
                                    **paths("val"), **common)
-    dev_train = dataset_to_device(ds_train)
-    dev_val = dataset_to_device(ds_val)
+    import jax.numpy as jnp
+    data_dtype = jnp.bfloat16 if args.data_dtype == "bfloat16" else None
+    dev_train = dataset_to_device(ds_train, dtype=data_dtype)
+    dev_val = dataset_to_device(ds_val, dtype=data_dtype)
 
     epoch_seed = [122731]
 

@@ -50,6 +50,12 @@ def main() -> None:
     ap.add_argument("--train_num", type=int, default=500)
     ap.add_argument("--val_num", type=int, default=100)
     ap.add_argument("--batch_size", type=int, default=4)   # README.md:47-67
+    ap.add_argument("--val_batch", type=int, default=None,
+                    help="validation batch (default min(batch_size//2, 2)): "
+                         "the eval step reconstructs the FULL 20-plane stack "
+                         "per sample, so its HBM footprint per sample is ~5x "
+                         "the train step's random-distance subset; val batch "
+                         "4 at train batch 8 OOMs a 16 GB chip")
     ap.add_argument("--stage1_epochs", type=int, default=30)
     ap.add_argument("--stage2_epochs", type=int, default=20)
     ap.add_argument("--gan_epochs", type=int, default=50)  # README.md:47-67
@@ -65,6 +71,8 @@ def main() -> None:
     ap.add_argument("--skip_gan", action="store_true")
     ap.add_argument("--skip_eval", action="store_true")
     args = ap.parse_args()
+    if args.val_batch is None:
+        args.val_batch = min(max(args.batch_size // 2, 1), 2)
 
     from learned_hologram_gan_tpu.config import GeneratorConfig
     from learned_hologram_gan_tpu.data import (
@@ -138,7 +146,7 @@ def main() -> None:
         _, _, tr_hist, val_hist = train_rgbd2ap(
             model1, variables["params"], variables["batch_stats"],
             train_batches(dev_train, args.batch_size),
-            val_batches(dev_val, max(args.batch_size // 2, 1)),
+            val_batches(dev_val, args.val_batch),
             epochs=args.stage1_epochs, lr=1e-3, alpha=1e-3,
             save_path=stage1_path, checkpoint_iterval=10,
         )
@@ -169,7 +177,7 @@ def main() -> None:
         _, _, tr_hist, val_hist = train_ap2poh(
             model2, plan, variables["params"],
             train_batches(dev2_train, args.batch_size),
-            val_batches(dev2_val, max(args.batch_size // 2, 1)),
+            val_batches(dev2_val, args.val_batch),
             filter_radius_coefficient=0.45,
             epochs=args.stage2_epochs, lr=1e-3, alpha=1e-3, beta=1e-5,
             save_path=stage2_path, checkpoint_iterval=10,
@@ -202,7 +210,7 @@ def main() -> None:
         os.makedirs(img_dir, exist_ok=True)
         trainer.train(
             data_loader_train=train_batches(dev_train, args.batch_size),
-            data_loader_val=val_batches(dev_val, max(args.batch_size // 2, 1)),
+            data_loader_val=val_batches(dev_val, args.val_batch),
             phs_gradient_loss_weight=1,                       # :76-97 weights
             perceptual_loss_weight=1e-1,
             pixel_loss_weight=1,
