@@ -21,6 +21,8 @@ def _data_range(preds: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 def psnr(preds: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Peak signal-to-noise ratio in dB over the whole batch."""
+    preds = preds.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     rng = _data_range(preds, target)
     mse = jnp.mean((preds - target) ** 2)
     return 10.0 * jnp.log10(rng**2 / mse)
@@ -49,13 +51,28 @@ def ssim(
     of five dense single-channel 11x11 convs — single-channel convs leave
     the TPU's vector lanes idle, and 2x11 taps replace 121.
     """
+    preds = preds.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     rng = _data_range(preds, target)
-    c1 = (k1 * rng) ** 2
-    c2 = (k2 * rng) ** 2
+    # the 1e-30 floor only matters when rng == 0 (bit-identical inputs,
+    # where num == den and SSIM is exactly 1 instead of 0/0 = nan)
+    c1 = (k1 * rng) ** 2 + 1e-30
+    c2 = (k2 * rng) ** 2 + 1e-30
 
     b, c = preds.shape[0], preds.shape[1]
     x = preds.reshape(b * c, *preds.shape[2:])
     y = target.reshape(b * c, *target.shape[2:])
+
+    # Shifted moments: sig = E[x^2] - mu^2 is catastrophically ill-conditioned
+    # when mean^2 >> variance (f32 error ~eps*mu^2 exceeds the c2 stabilizer,
+    # so `den` crosses zero and the map goes inf / >1 — observed at 1080p
+    # validation).  Subtracting a global constant leaves every variance and
+    # covariance algebraically unchanged while shrinking the cancelling
+    # terms to O(x - shift)^2; the shift is added back for the luminance
+    # (mu) terms only.
+    shift = 0.5 * (jnp.mean(x) + jnp.mean(y))
+    x = x - shift
+    y = y - shift
 
     planes = jnp.concatenate([x, y, x * x, y * y, x * y], axis=0)
     nch = planes.shape[0]
@@ -66,19 +83,28 @@ def ssim(
     kcol = jnp.asarray(np.tile(g[None, :, None, None], (1, 1, 1, nch)))
 
     def blur1d(t, kern):
+        # HIGHEST: TPU convs default to bf16 multiply passes, and the
+        # moment-map cancellation sig_x = E[x^2] - mu_x^2 then carries
+        # ~0.8%-of-m^2 error — larger than c2, so `den` can cross zero at
+        # some pixel and the mean goes inf (seen sporadically at 1080p
+        # validation, where 49M pixels get sampled per batch).  True-f32
+        # passes bound the error at ~6e-8*m^2 << c2.  The depthwise 11-tap
+        # blur is a negligible cost at HIGHEST.
         return jax.lax.conv_general_dilated(
             t, kern, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=nch,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     blurred = blur1d(blur1d(planes, krow), kcol)[0]  # (H', W', 5*b*c)
     blurred = blurred.transpose(2, 0, 1).reshape(5, b * c, *blurred.shape[:2])
-    mu_x, mu_y = blurred[0], blurred[1]
+    mu_xs, mu_ys = blurred[0], blurred[1]  # shifted means
+    sig_x = blurred[2] - mu_xs * mu_xs
+    sig_y = blurred[3] - mu_ys * mu_ys
+    sig_xy = blurred[4] - mu_xs * mu_ys
+    mu_x, mu_y = mu_xs + shift, mu_ys + shift  # luminance uses true means
     mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
-    sig_x = blurred[2] - mu_x2
-    sig_y = blurred[3] - mu_y2
-    sig_xy = blurred[4] - mu_xy
 
     num = (2 * mu_xy + c1) * (2 * sig_xy + c2)
     den = (mu_x2 + mu_y2 + c1) * (sig_x + sig_y + c2)

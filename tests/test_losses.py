@@ -107,3 +107,31 @@ def test_perceptual_loss_random_fallback_runs():
     l_ab = float(losses.perceptual_loss(params, a, b))
     l_aa = float(losses.perceptual_loss(params, a, a))
     assert l_ab > 0 and l_aa < 1e-8
+
+
+def test_metrics_finite_bf16_and_offset_inputs():
+    """Regression: SSIM went sporadically inf during 1080p validation.
+
+    Root cause: the moment-map blur convs ran at TPU default precision
+    (bf16 passes), so sig = E[x^2] - mu^2 carried cancellation error larger
+    than the c2 stabilizer and `den` could cross zero at a pixel.  The blur
+    now pins Precision.HIGHEST and both metrics compute in f32 regardless
+    of input dtype.  Offset inputs (mean >> std) maximize the cancellation;
+    bf16 inputs exercise the cast path.
+    """
+    base = RNG.normal(0, 1e-3, (1, 6, 64, 64)).astype(np.float32) + 7.5
+    other = base + RNG.normal(0, 1e-4, base.shape).astype(np.float32)
+    s = float(losses.ssim(jnp.asarray(base), jnp.asarray(other)))
+    p = float(losses.psnr(jnp.asarray(base), jnp.asarray(other)))
+    assert np.isfinite(s) and 0.0 < s <= 1.0, s
+    assert np.isfinite(p), p
+    # bf16 inputs (cast path): noise above the bf16 quantum at this mean
+    b16 = jnp.asarray(base, jnp.bfloat16)
+    o16 = jnp.asarray(base + RNG.normal(0, 0.25, base.shape).astype(np.float32),
+                      jnp.bfloat16)
+    s16 = float(losses.ssim(b16, o16))
+    assert np.isfinite(s16) and 0.0 < s16 <= 1.0, s16
+    assert np.isfinite(float(losses.psnr(b16, o16)))
+    # bit-identical inputs: SSIM exactly 1 (not 0/0).  (PSNR there is 0/0 —
+    # ill-defined with a data-derived range, same as torchmetrics.)
+    assert float(losses.ssim(b16, b16)) == 1.0
