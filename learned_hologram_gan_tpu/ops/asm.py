@@ -720,13 +720,28 @@ def filter_ap2filtered_freq(
 
 
 def freq2ap_all_distances(
-    plan: PropagatorPlan, g0: jnp.ndarray
+    plan: PropagatorPlan, g0: jnp.ndarray, sequential: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Spectrum -> amp/phase at *every* cached distance (reference :524-531).
 
     g0: (B, C, Rp, Cp) -> returns ((B*D, C, rows, cols) amp, same-shape phase),
     distance-major within each sample: row b*D + d is sample b at distance d.
+    ``sequential=True`` maps over distances with ``lax.map`` (one padded plane
+    set in flight instead of D — the single-chip 1080p/4K evaluation mode,
+    same lever as :func:`propagate_batch_multi`).
     """
+    if sequential:
+        if plan.distances is None:
+            raise ValueError("plan has no distance stack")
+
+        def one(z):
+            h = _transfer_function(plan.w_grid, z[None])[0]
+            return crop(plan, _ifft2(g0 * (h * plan.mask), plan))
+
+        gz = jax.lax.map(one, plan.distances)  # (D, B, C, rows, cols)
+        b, d = gz.shape[1], gz.shape[0]
+        gz = gz.transpose(1, 0, 2, 3, 4).reshape(b * d, *gz.shape[2:])
+        return jnp.abs(gz), _angle(gz)
     if _fused_ok(plan) and plan.distances is not None:
         out = _fused_apply(plan, g0, plan.distances, from_spectrum=True)
         b, d = out.shape[0], out.shape[1]

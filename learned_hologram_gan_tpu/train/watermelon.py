@@ -78,6 +78,7 @@ class Watermelon:
         critic_batching: str = "pair",
         two_h_hat: bool = False,
         polyphase_level0: bool = False,
+        pad_cols_override: Optional[int] = None,
     ):
         # remat + cache_h=False are the single-chip high-resolution levers:
         # activation checkpointing through the UNet, and no cached transfer-
@@ -105,6 +106,10 @@ class Watermelon:
             unet_base_features=unet_base_features,
             remat=remat,
             polyphase_level0=polyphase_level0,
+            # 4K lever: the aspect-derived col pad lands on an FFT-hostile
+            # length (2176x3840 + pad 320 -> 4970 = 2*5*7*71, Bluestein OOM);
+            # pass utils/fftlen.good_fft_pads' 5-smooth pick instead.
+            pad_cols_override=pad_cols_override,
         )
         self.disc_config = DiscriminatorConfig(feature_d=feature_d, dtype=dtype)
         self.spatial_mesh = spatial_mesh

@@ -178,6 +178,11 @@ def test_freq2ap_all_distances_layout():
     # Block d of sample 0 equals manual single-distance apply.
     gz = jnp.fft.ifft2(g0[0] * plan.H[3] * plan.mask)
     np.testing.assert_allclose(np.asarray(amp[3]), np.abs(np.asarray(gz)), atol=1e-5)
+    # sequential (lax.map, one plane in flight — the 1080p/4K eval lever)
+    # matches the dense stack bit-for-layout
+    amp_s, phs_s = asm.freq2ap_all_distances(plan, g0, sequential=True)
+    np.testing.assert_allclose(np.asarray(amp_s), np.asarray(amp), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(phs_s), np.asarray(phs), atol=1e-5)
 
 
 def test_freq2amp_at_matches_cached_stack_and_is_retrace_free():

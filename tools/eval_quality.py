@@ -51,6 +51,12 @@ def main() -> None:
                          "(ablation: no part2 subtree in the saved state)")
     ap.add_argument("--num_planes", type=int, default=20,
                     help="focal-stack planes over [-4e-4, 0) for the metrics")
+    ap.add_argument("--pad_cols", type=int, default=None,
+                    help="column-pad override (4K: use utils/fftlen."
+                         "good_fft_pads to avoid Bluestein-hostile lengths)")
+    ap.add_argument("--sequential", action="store_true",
+                    help="map the recon over distances with lax.map "
+                         "(4K: one padded plane in flight instead of D)")
     ap.add_argument("--no_cache_h", action="store_true",
                     help="compute transfer functions on the fly (high-res: "
                          "a 20-plane cached H stack at 1080p is ~2 GB HBM)")
@@ -95,6 +101,7 @@ def main() -> None:
         use_modulation=not args.no_modulation,
         cache_h=not args.no_cache_h,
         unet_base_features=args.unet_base_features,
+        pad_cols_override=args.pad_cols,
     )
     trainer._init_state(seed=0, lr_G=1e-3, lr_D=1e-3)
 
@@ -108,7 +115,8 @@ def main() -> None:
         hat_freq = asm.propagate_poh2freq_forward(gen_plan, poh)
         tgt_freq = asm.filter_ap2filtered_freq(multi_plan, amp, phs)
         both = jnp.concatenate([hat_freq, tgt_freq], axis=0)
-        amps, _ = asm.freq2ap_all_distances(multi_plan, both)
+        amps, _ = asm.freq2ap_all_distances(multi_plan, both,
+                                            sequential=args.sequential)
         b = rgbd.shape[0]
         # (2B*D, 3, H, W) distance-major per sample -> (2B, D, 3, H, W)
         amps = amps.reshape(2 * b, multi_plan.num_distances, *amps.shape[1:])

@@ -283,6 +283,9 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=384)
     ap.add_argument("--cols", type=int, default=384)
     ap.add_argument("--pad_size", type=int, default=320)  # trainingModel.py:62
+    ap.add_argument("--pad_cols", type=int, default=None,
+                    help="column-pad override (4K: pick with "
+                         "utils/fftlen.good_fft_pads)")
     ap.add_argument("--filter_radius_coefficient", type=float, default=0.45)
     ap.add_argument("--layers", type=int, default=10)
     ap.add_argument("--z_far", type=float, default=-4e-4)
@@ -298,6 +301,7 @@ def main() -> None:
         cols=args.cols,
         pad_size=args.pad_size,
         filter_radius_coefficient=args.filter_radius_coefficient,
+        pad_cols_override=args.pad_cols,
     )
     if args.preview_only:
         save_preview(
