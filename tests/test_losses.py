@@ -135,3 +135,41 @@ def test_metrics_finite_bf16_and_offset_inputs():
     # bit-identical inputs: SSIM exactly 1 (not 0/0).  (PSNR there is 0/0 —
     # ill-defined with a data-derived range, same as torchmetrics.)
     assert float(losses.ssim(b16, b16)) == 1.0
+
+
+def test_ssim_matches_f64_numpy_oracle():
+    """Direct per-channel float64 sliding-window oracle (gaussian 11x11,
+    sigma 1.5, torchmetrics conventions) pins the shifted-moment
+    implementation to 1e-6."""
+    from learned_hologram_gan_tpu.losses import metrics as M
+
+    rng = np.random.default_rng(7)
+    x = rng.random((1, 2, 24, 24)).astype(np.float32)
+    y = (x + rng.normal(0, 0.1, x.shape)).astype(np.float32)
+    g = M._gaussian_1d(11, 1.5).astype(np.float64)
+    win = np.outer(g, g)
+
+    def blur(img):
+        H, W = img.shape
+        out = np.zeros((H - 10, W - 10))
+        for i in range(H - 10):
+            for j in range(W - 10):
+                out[i, j] = (img[i : i + 11, j : j + 11] * win).sum()
+        return out
+
+    rngv = max(x.max(), y.max()) - min(x.min(), y.min())
+    c1, c2 = (0.01 * rngv) ** 2, (0.03 * rngv) ** 2
+    vals = []
+    for b in range(x.shape[0]):
+        for c in range(x.shape[1]):
+            xx, yy = x[b, c].astype(np.float64), y[b, c].astype(np.float64)
+            mx, my = blur(xx), blur(yy)
+            sx = blur(xx * xx) - mx * mx
+            sy = blur(yy * yy) - my * my
+            sxy = blur(xx * yy) - mx * my
+            s = ((2 * mx * my + c1) * (2 * sxy + c2)) / (
+                (mx * mx + my * my + c1) * (sx + sy + c2))
+            vals.append(s.mean())
+    oracle = float(np.mean(vals))
+    got = float(losses.ssim(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, oracle, atol=1e-6)
