@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--critic", default="pair",
                     choices=["separate", "pair", "full"],
                     help="critic_batching mode (see train/steps.py)")
+    ap.add_argument("--two_h", action="store_true",
+                    help="fused two-H hat/target reconstruction path")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +68,7 @@ def main():
         trainer.generator, trainer.discriminator, trainer.tx_G, trainer.tx_D,
         LossConfig(perceptual="none"), use_gan=True,
         discriminator_train_ratio=args.ratio, discriminator_lambda=10.0,
-        critic_batching=args.critic,
+        critic_batching=args.critic, two_h_hat=args.two_h,
     )
     rng = np.random.default_rng(0)
     batch = tuple(
