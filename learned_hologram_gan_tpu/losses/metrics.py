@@ -42,6 +42,7 @@ def ssim(
     sigma: float = 1.5,
     k1: float = 0.01,
     k2: float = 0.03,
+    plane_chunk: int | None = None,
 ) -> jnp.ndarray:
     """Structural similarity, NCHW inputs, mean over batch/channels/pixels.
 
@@ -50,18 +51,25 @@ def ssim(
     of depthwise row/col convolutions over a channel-stacked tensor instead
     of five dense single-channel 11x11 convs — single-channel convs leave
     the TPU's vector lanes idle, and 2x11 taps replace 121.
+
+    ``plane_chunk`` bounds peak memory for huge images (the moment stack is
+    5 x (b*c) x H x W f32 — ~12 GB for a 24-plane 4K focal stack, an OOM on
+    one 16 GB chip): the global data range and moment shift are computed
+    once over everything, then the blurred-moment pass runs ``plane_chunk``
+    (b, c) planes at a time and the per-plane SSIM means are combined with
+    plane-count weights.  Every plane's SSIM map has the same spatial shape,
+    so the weighted combination is algebraically the unchunked mean.
     """
-    preds = preds.astype(jnp.float32)
-    target = target.astype(jnp.float32)
-    rng = _data_range(preds, target)
+    # max/min commute with the monotone f32 cast, so reducing first is exact
+    rng = _data_range(preds, target).astype(jnp.float32)
     # the 1e-30 floor only matters when rng == 0 (bit-identical inputs,
     # where num == den and SSIM is exactly 1 instead of 0/0 = nan)
     c1 = (k1 * rng) ** 2 + 1e-30
     c2 = (k2 * rng) ** 2 + 1e-30
 
     b, c = preds.shape[0], preds.shape[1]
-    x = preds.reshape(b * c, *preds.shape[2:])
-    y = target.reshape(b * c, *target.shape[2:])
+    x_all = preds.reshape(b * c, *preds.shape[2:])
+    y_all = target.reshape(b * c, *target.shape[2:])
 
     # Shifted moments: sig = E[x^2] - mu^2 is catastrophically ill-conditioned
     # when mean^2 >> variance (f32 error ~eps*mu^2 exceeds the c2 stabilizer,
@@ -69,10 +77,27 @@ def ssim(
     # validation).  Subtracting a global constant leaves every variance and
     # covariance algebraically unchanged while shrinking the cancelling
     # terms to O(x - shift)^2; the shift is added back for the luminance
-    # (mu) terms only.
-    shift = 0.5 * (jnp.mean(x) + jnp.mean(y))
-    x = x - shift
-    y = y - shift
+    # (mu) terms only.  dtype=f32 reductions avoid materializing full f32
+    # copies of bf16 inputs.
+    shift = 0.5 * (jnp.mean(x_all, dtype=jnp.float32)
+                   + jnp.mean(y_all, dtype=jnp.float32))
+
+    n = b * c
+    if plane_chunk is None or plane_chunk >= n:
+        return _ssim_planes(x_all, y_all, shift, c1, c2, kernel_size, sigma)
+    total = jnp.zeros((), jnp.float32)
+    for start in range(0, n, plane_chunk):
+        xc = x_all[start:start + plane_chunk]
+        yc = y_all[start:start + plane_chunk]
+        total = total + xc.shape[0] * _ssim_planes(
+            xc, yc, shift, c1, c2, kernel_size, sigma)
+    return total / n
+
+
+def _ssim_planes(x, y, shift, c1, c2, kernel_size, sigma):
+    """Mean SSIM over a stack of (H, W) plane pairs, given global stats."""
+    x = x.astype(jnp.float32) - shift
+    y = y.astype(jnp.float32) - shift
 
     planes = jnp.concatenate([x, y, x * x, y * y, x * y], axis=0)
     nch = planes.shape[0]
@@ -97,8 +122,8 @@ def ssim(
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    blurred = blur1d(blur1d(planes, krow), kcol)[0]  # (H', W', 5*b*c)
-    blurred = blurred.transpose(2, 0, 1).reshape(5, b * c, *blurred.shape[:2])
+    blurred = blur1d(blur1d(planes, krow), kcol)[0]  # (H', W', 5*n_planes)
+    blurred = blurred.transpose(2, 0, 1).reshape(5, x.shape[0], *blurred.shape[:2])
     mu_xs, mu_ys = blurred[0], blurred[1]  # shifted means
     sig_x = blurred[2] - mu_xs * mu_xs
     sig_y = blurred[3] - mu_ys * mu_ys

@@ -173,3 +173,15 @@ def test_ssim_matches_f64_numpy_oracle():
     oracle = float(np.mean(vals))
     got = float(losses.ssim(jnp.asarray(x), jnp.asarray(y)))
     np.testing.assert_allclose(got, oracle, atol=1e-6)
+
+
+def test_ssim_plane_chunk_matches_unchunked():
+    """plane_chunk bounds peak memory for 4K stacks; the weighted per-chunk
+    combination must equal the unchunked mean (incl. a ragged last chunk)."""
+    rng = np.random.default_rng(11)
+    x = rng.random((2, 3, 20, 20)).astype(np.float32)
+    y = (x + rng.normal(0, 0.05, x.shape)).astype(np.float32)
+    full = float(losses.ssim(jnp.asarray(x), jnp.asarray(y)))
+    for chunk in (1, 4, 5, 6, 99):
+        got = float(losses.ssim(jnp.asarray(x), jnp.asarray(y), plane_chunk=chunk))
+        np.testing.assert_allclose(got, full, atol=2e-6)

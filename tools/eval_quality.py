@@ -124,6 +124,9 @@ def main() -> None:
 
     # ---- full-val metric sweep ----
     num_d = trainer.multi_plan.num_distances
+    # SSIM's moment stack is 5 x planes x H x W f32; chunk the plane axis so
+    # one chunk stays ~<=1 GB (4K focal stacks OOM a 16 GB chip otherwise)
+    ssim_chunk = max(1, int(1e9 / (5 * 4 * h * w)))
     per_plane_psnr = np.zeros(num_d)
     tot_psnr = tot_ssim = 0.0
     n_batches = 0
@@ -137,7 +140,8 @@ def main() -> None:
         )
         tot_psnr += float(psnr(hat, tgt))
         tot_ssim += float(ssim(
-            hat.reshape(-1, *hat.shape[2:]), tgt.reshape(-1, *tgt.shape[2:])
+            hat.reshape(-1, *hat.shape[2:]), tgt.reshape(-1, *tgt.shape[2:]),
+            plane_chunk=ssim_chunk,
         ))
         for d in range(num_d):
             per_plane_psnr[d] += float(psnr(hat[:, d], tgt[:, d]))
