@@ -8,6 +8,8 @@ the union of both inputs, and SSIM uses a gaussian 11x11 window with sigma
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -94,8 +96,15 @@ def ssim(
     return total / n
 
 
+@partial(jax.jit, static_argnames=("kernel_size", "sigma"))
 def _ssim_planes(x, y, shift, c1, c2, kernel_size, sigma):
-    """Mean SSIM over a stack of (H, W) plane pairs, given global stats."""
+    """Mean SSIM over a stack of (H, W) plane pairs, given global stats.
+
+    jitted (scalar output) so the eager per-chunk call chain doesn't
+    materialize the moment stack + two blur passes as four separate ~0.8 GB
+    HBM buffers at 4K — XLA fuses the moment construction into the first
+    conv and the SSIM map into the final reduction.
+    """
     x = x.astype(jnp.float32) - shift
     y = y.astype(jnp.float32) - shift
 
