@@ -125,8 +125,9 @@ def main() -> None:
     # ---- full-val metric sweep ----
     num_d = trainer.multi_plan.num_distances
     # SSIM's moment stack is 5 x planes x H x W f32; chunk the plane axis so
-    # one chunk stays ~<=1 GB (4K focal stacks OOM a 16 GB chip otherwise)
-    ssim_chunk = max(1, int(1e9 / (5 * 4 * h * w)))
+    # one chunk stays ~<=0.4 GB (4K focal stacks OOM a 16 GB chip otherwise —
+    # the recon outputs for the batch are still resident during the metrics)
+    ssim_chunk = max(1, int(4e8 / (5 * 4 * h * w)))
     per_plane_psnr = np.zeros(num_d)
     tot_psnr = tot_ssim = 0.0
     n_batches = 0
