@@ -212,6 +212,8 @@ class Watermelon:
         visualization_RGBD_AP=None,
         seed: int = 122731,
         resume_dir: Optional[str] = None,
+        start_epoch: int = 0,
+        resume_data_fast_forward: bool = True,
     ) -> Dict[str, Any]:
         """Full GAN training loop (reference watermelon.train, :92-416).
 
@@ -228,6 +230,16 @@ class Watermelon:
         ``resume_dir`` restores the latest state and fast-forwards the
         (deterministic) loaders to the right batch — bitwise-identical to an
         uninterrupted run (tests/test_train.py::test_resume_kill_restart).
+
+        ``start_epoch`` + ``resume_data_fast_forward=False`` support *chunked*
+        runs (N epochs per process, resume, repeat — how multi-hour streaming
+        runs bound the axon relay's pinned-H2D-buffer leak, see
+        data/device.py): fast-forward replays every already-trained batch
+        through the loader just to discard it, which for a streaming loader
+        re-transfers O(epochs²) data over the host link across chunks.  With
+        fast-forward off, the caller promises the loaders are already
+        positioned for ``start_epoch`` (seed them with an epoch offset) and
+        the loop simply runs epochs [start_epoch, epoch_num).
         """
         if save_path_G is None:
             print("!!!!!!The save path of the generator is not specified, "
@@ -285,8 +297,14 @@ class Watermelon:
                         history = json.load(f)
                 n_batch_last = start_step
                 print(f"Resumed training from {resume_dir} at step {start_step}")
+                if not resume_data_fast_forward:
+                    # counters jump straight to the restored step; loaders
+                    # are caller-positioned for start_epoch
+                    n_batch = start_step
+                    if history["n_train"]:
+                        n_train = int(history["n_train"][-1])
 
-        for epoch in range(epoch_num):
+        for epoch in range(start_epoch, epoch_num):
             for n_batch_in_epoch, batch in enumerate(self._epoch(data_loader_train)):
                 n_batch += 1
                 if n_batch <= start_step:

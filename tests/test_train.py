@@ -275,6 +275,52 @@ def test_resume_kill_restart(tmp_path):
     )
 
 
+def test_resume_chunked_no_fast_forward(tmp_path):
+    """Chunked resume (start_epoch + resume_data_fast_forward=False) must be
+    bitwise-equal to an uninterrupted run when the caller positions the
+    loaders for start_epoch — the streaming-loader escape hatch for the
+    relay's pinned-H2D leak (quality_run --streaming --start_epoch)."""
+    batches = synthetic_batches(4)
+
+    def make_loader(start=0):
+        state = {"epoch": start}
+
+        def loader():
+            e = state["epoch"] % 2
+            state["epoch"] += 1
+            return iter(batches[2 * e : 2 * e + 2])
+
+        return loader
+
+    common = dict(
+        data_loader_val=lambda: iter(batches[:1]),
+        info_print_interval=100, checkpoint_iterval=1,
+        discriminator_train_ratio=1, seed=7,
+    )
+
+    t_full = tiny_trainer()
+    t_full.train(data_loader_train=make_loader(), epoch_num=2, **common)
+
+    resume_dir = str(tmp_path / "resume")
+    t1 = tiny_trainer()
+    t1.train(data_loader_train=make_loader(), epoch_num=1,
+             resume_dir=resume_dir, **common)
+
+    # chunk 2: fresh process, loader pre-positioned at epoch 1, no replay
+    t2 = tiny_trainer()
+    t2.train(data_loader_train=make_loader(start=1), epoch_num=2,
+             start_epoch=1, resume_data_fast_forward=False,
+             resume_dir=resume_dir, **common)
+
+    assert int(t2.state.step) == int(t_full.state.step)
+    for a, b in zip(jax.tree.leaves(t_full.state.params_G),
+                    jax.tree.leaves(t2.state.params_G)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(t_full.state.opt_state_G),
+                    jax.tree.leaves(t2.state.opt_state_G)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 def test_validation_ragged_batches_bounded_compiles_exact_metrics(tmp_path):
     """A short final val batch compiles at most once more (shape-cached, NOT

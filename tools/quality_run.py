@@ -70,7 +70,23 @@ def main() -> None:
     ap.add_argument("--skip_stage2", action="store_true")
     ap.add_argument("--skip_gan", action="store_true")
     ap.add_argument("--skip_eval", action="store_true")
+    ap.add_argument("--streaming", action="store_true",
+                    help="stream batches from the host memmap instead of the "
+                         "device-resident path — required when resident data "
+                         "+ the train step exceed HBM (batch 16).  The relay "
+                         "pins every H2D buffer, so multi-hour streaming "
+                         "runs must be CHUNKED: run N epochs per process "
+                         "with --start_epoch/--gan_epochs and a shared "
+                         "--out (resume state carries across processes).")
+    ap.add_argument("--start_epoch", type=int, default=0,
+                    help="first GAN epoch of this process (chunked runs); "
+                         "loaders are seed-offset and resume skips its "
+                         "O(epochs^2) data fast-forward")
     args = ap.parse_args()
+    if args.streaming and not (args.skip_stage1 and args.skip_stage2):
+        raise SystemExit("--streaming supports stage 3 only: run/skip the "
+                         "pretrain stages with the device-resident path "
+                         "(they fit HBM at any supported batch).")
     if args.val_batch is None:
         args.val_batch = min(max(args.batch_size // 2, 1), 2)
 
@@ -114,25 +130,47 @@ def main() -> None:
         samples_num=args.val_num, **paths("val"), **common)
 
     # Device-resident data: upload each split ONCE, gather batches on-device.
-    # The streaming loader is unusable for multi-hour runs on this host: the
-    # axon relay pins every H2D batch buffer (~500 GB over 50 epochs; the
-    # first attempt was OOM-killed at 130 GB host RSS).  See data/device.py.
-    data_dtype = jnp.bfloat16 if args.data_dtype == "bfloat16" else None
-    dev_train = dataset_to_device(ds_train, dtype=data_dtype)  # (rgbd, amp, phs01)
-    dev_val = dataset_to_device(ds_val, dtype=data_dtype)
+    # The streaming loader is unusable for multi-hour single-process runs on
+    # this host: the axon relay pins every H2D batch buffer (~500 GB over 50
+    # epochs; the first attempt was OOM-killed at 130 GB host RSS).  See
+    # data/device.py.  --streaming + chunked processes is the escape hatch
+    # when resident data + the train step exceed HBM (batch 16).
+    epoch_seed = [122731 + args.start_epoch]
 
-    epoch_seed = [122731]
+    if args.streaming:
+        from learned_hologram_gan_tpu.data import epoch_loader
 
-    def train_batches(arrays, batch):
-        def fn():
-            epoch_seed[0] += 1
-            return device_epoch_loader(arrays, batch, shuffle=True,
-                                       drop_last=True, seed=epoch_seed[0])
-        return fn
+        dev_train, dev_val = ds_train, ds_val  # loader sources
 
-    def val_batches(arrays, batch):
-        return lambda: device_epoch_loader(arrays, batch, shuffle=False,
-                                           drop_last=False)
+        def train_batches(ds, batch):
+            def fn():
+                epoch_seed[0] += 1
+                return epoch_loader(ds, batch, shuffle=True, drop_last=True,
+                                    seed=epoch_seed[0])
+            return fn
+
+        def val_batches(ds, batch):
+            return lambda: epoch_loader(ds, batch, shuffle=False,
+                                        drop_last=False)
+
+        viz_sample = tuple(jnp.asarray(a) for a in ds_val.get(0))
+    else:
+        data_dtype = jnp.bfloat16 if args.data_dtype == "bfloat16" else None
+        dev_train = dataset_to_device(ds_train, dtype=data_dtype)  # (rgbd, amp, phs01)
+        dev_val = dataset_to_device(ds_val, dtype=data_dtype)
+
+        def train_batches(arrays, batch):
+            def fn():
+                epoch_seed[0] += 1
+                return device_epoch_loader(arrays, batch, shuffle=True,
+                                           drop_last=True, seed=epoch_seed[0])
+            return fn
+
+        def val_batches(arrays, batch):
+            return lambda: device_epoch_loader(arrays, batch, shuffle=False,
+                                               drop_last=False)
+
+        viz_sample = tuple(a[0] for a in dev_val)
 
     # ------------------------------------------------------------------
     # stage 1: RGBD2AP pretrain
@@ -228,9 +266,11 @@ def main() -> None:
             checkpoint_iterval=10,
             discriminator_train_ratio=5,
             discriminator_lambda=10,
-            visualization_RGBD_AP=tuple(a[0] for a in dev_val),
+            visualization_RGBD_AP=viz_sample,
             seed=122731,
             resume_dir=os.path.join(args.out, "resume"),
+            start_epoch=args.start_epoch,
+            resume_data_fast_forward=args.start_epoch == 0,
         )
         timings["gan_s"] = time.time() - t0
         log(f"stage 3 done in {timings['gan_s']:.0f}s")
