@@ -67,14 +67,28 @@ def epoch_loader(
     seed: Optional[int] = None,
     sharding: Optional[object] = None,
     prefetch: int = 2,
+    dtype: Optional[object] = None,
 ) -> Iterator:
-    """One epoch of device-ready batches over a memmap dataset."""
+    """One epoch of device-ready batches over a memmap dataset.
+
+    ``dtype`` casts each gathered array on the HOST before the transfer —
+    ``jnp.bfloat16`` halves the wire bytes, which matters wherever the
+    host→device link (not HBM) bounds streaming throughput (a tunneled
+    relay at ~78 MB/s here; thin PCIe elsewhere).  The train step computes
+    in bf16 anyway, and bf16-stored data is quality-validated by the
+    batch-8 device-resident run (BASELINE.md).
+    """
     from .memmap import batch_indices, gather_batch
 
     def gen():
         for idx in batch_indices(
             len(dataset), batch_size, shuffle=shuffle, drop_last=drop_last, seed=seed
         ):
-            yield gather_batch(dataset, idx)
+            batch = gather_batch(dataset, idx)
+            if dtype is not None:
+                # tree map: gather_batch yields a bare array for single-
+                # tensor datasets and a tuple for multi-tensor ones
+                batch = jax.tree.map(lambda a: a.astype(dtype), batch)
+            yield batch
 
     return prefetch_to_device(gen(), size=prefetch, sharding=sharding)

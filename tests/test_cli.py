@@ -153,3 +153,41 @@ def test_finetune_highres_tool(tmp_path):
         summary = json.load(f)
     assert np.isfinite(summary["val_PSNR"])
     assert len(summary["per_plane_PSNR"]) == 3
+
+
+@pytest.mark.slow
+def test_quality_run_streaming_chunked(tmp_path):
+    """The chunked streaming workflow (tools/quality_run.py --streaming
+    --start_epoch) end-to-end at smoke shapes: two processes share one
+    --out, the second resumes without data replay, and the final eval
+    produces finite metrics — the batch-16 quality-run mechanism."""
+    data = tmp_path / "synth"
+    r = run_cli([
+        "tools/make_synthetic_dataset.py", "--out", str(data),
+        "--rows", "16", "--cols", "16", "--pad_size", "4",
+        "--train_num", "8", "--val_num", "4", "--batch", "4", "--layers", "3",
+    ], timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = tmp_path / "q"
+    common = [
+        "tools/quality_run.py", "--out", str(out), "--data", str(data),
+        "--rows", "16", "--cols", "16", "--pad_size", "4",
+        "--num_planes", "5", "--unet_base_features", "2",
+        "--batch_size", "4", "--val_batch", "2", "--train_num", "8",
+        "--val_num", "4", "--perceptual", "none", "--dtype", "float32",
+        "--skip_stage1", "--skip_stage2", "--streaming",
+    ]
+    r = run_cli(common + ["--gan_epochs", "1", "--start_epoch", "0",
+                          "--skip_eval"], timeout=1500)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(out / "resume" / "history.json") or \
+        os.path.exists(out / "generator.msgpack")
+
+    r = run_cli(common + ["--gan_epochs", "2", "--start_epoch", "1"],
+                timeout=1500)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Resumed training" in r.stdout
+    with open(out / "eval" / "summary.json") as f:
+        summary = json.load(f)
+    assert np.isfinite(summary["val_PSNR"])
+    assert len(summary["per_plane_PSNR"]) == 5

@@ -206,3 +206,30 @@ def test_native_decoder_matches_python(tmp_path):
         finally:
             exr_mod._NATIVE_LIB = saved
         np.testing.assert_array_equal(native, pure)
+
+
+def test_epoch_loader_wire_dtype(tmp_path):
+    """dtype= casts on the host before the transfer (halves wire bytes for
+    link-bound streaming); values round to bf16 exactly, structure kept."""
+    import jax.numpy as jnp
+
+    paths, arrays = _write_bins(tmp_path)
+    ds = data_lib.ImgDepthAmpPhsDataset(
+        paths["img"], paths["depth"], paths["amp"], paths["phs"],
+        samples_num=6, channels_num=3, height=4, width=4)
+    batches = list(data_lib.epoch_loader(
+        ds, 2, shuffle=False, drop_last=True, dtype=jnp.bfloat16))
+    assert len(batches) == 3 and len(batches[0]) == 3
+    for a in batches[0]:
+        assert a.dtype == jnp.bfloat16
+    ref = [x.astype(jnp.bfloat16) for x in ds.get(0)]
+    for a, r in zip(batches[0], ref):
+        np.testing.assert_array_equal(np.asarray(a[0], np.float32),
+                                      np.asarray(r, np.float32))
+
+    # single-tensor dataset: the bare-array path must not be iterated
+    ds2 = data_lib.ImgDepthDataset(paths["img"], paths["depth"], samples_num=6,
+                                   channels_num=3, height=4, width=4)
+    b2 = list(data_lib.epoch_loader(ds2, 2, shuffle=False, drop_last=True,
+                                    dtype=jnp.bfloat16))
+    assert b2[0].shape == (2, 4, 4, 4) and b2[0].dtype == jnp.bfloat16

@@ -70,6 +70,14 @@ def main() -> None:
     ap.add_argument("--skip_stage2", action="store_true")
     ap.add_argument("--skip_gan", action="store_true")
     ap.add_argument("--skip_eval", action="store_true")
+    ap.add_argument("--pad_size", type=int, default=320,
+                    help="config of record: 320 (trainingModel.py:61); "
+                         "shrink for CPU smoke runs")
+    ap.add_argument("--num_planes", type=int, default=20,
+                    help="distance-stack planes over [-4e-4, 0) "
+                         "(trainingModel.py:62-66)")
+    ap.add_argument("--unet_base_features", type=int, default=64,
+                    help="reference UNet width (shrink for CPU smoke)")
     ap.add_argument("--streaming", action="store_true",
                     help="stream batches from the host memmap instead of the "
                          "device-resident path — required when resident data "
@@ -141,17 +149,21 @@ def main() -> None:
         from learned_hologram_gan_tpu.data import epoch_loader
 
         dev_train, dev_val = ds_train, ds_val  # loader sources
+        # --data_dtype bfloat16 halves the wire bytes per batch; on a
+        # link-bound host (this relay: ~78 MB/s) that nearly doubles the
+        # streaming cadence
+        wire_dtype = jnp.bfloat16 if args.data_dtype == "bfloat16" else None
 
         def train_batches(ds, batch):
             def fn():
                 epoch_seed[0] += 1
                 return epoch_loader(ds, batch, shuffle=True, drop_last=True,
-                                    seed=epoch_seed[0])
+                                    seed=epoch_seed[0], dtype=wire_dtype)
             return fn
 
         def val_batches(ds, batch):
             return lambda: epoch_loader(ds, batch, shuffle=False,
-                                        drop_last=False)
+                                        drop_last=False, dtype=wire_dtype)
 
         viz_sample = tuple(jnp.asarray(a) for a in ds_val.get(0))
     else:
@@ -178,7 +190,7 @@ def main() -> None:
     if not args.skip_stage1:
         log(f"stage 1: RGBD2AP pretrain, {args.stage1_epochs} epochs")
         t0 = time.time()
-        model1 = RGBD2AP(base_features=64, dtype=dtype)
+        model1 = RGBD2AP(base_features=args.unet_base_features, dtype=dtype)
         rgbd0 = jnp.zeros((1, 4, args.rows, args.cols), jnp.float32)
         variables = model1.init(jax.random.key(0), rgbd0, train=False)
         _, _, tr_hist, val_hist = train_rgbd2ap(
@@ -201,7 +213,7 @@ def main() -> None:
         log(f"stage 2: AP2POH pretrain, {args.stage2_epochs} epochs")
         t0 = time.time()
         cfg = GeneratorConfig(
-            rows=args.rows, cols=args.cols, pad_size=320,
+            rows=args.rows, cols=args.cols, pad_size=args.pad_size,
             filter_radius_coefficient=0.45, dtype=args.dtype,
         )
         plan = make_generator_plan(cfg)
@@ -234,13 +246,14 @@ def main() -> None:
         t0 = time.time()
         trainer = Watermelon(
             filter_radius_coefficient=0.45,                   # trainingModel.py:60
-            pad_size=320,                                     # :61
-            distance_stack=np.linspace(-4e-4, 0.0, 21)[:-1],  # :62-66
+            pad_size=args.pad_size,                           # :61
+            distance_stack=np.linspace(-4e-4, 0.0, args.num_planes + 1)[:-1],  # :62-66
             input_shape=(args.batch_size, 4, args.rows, args.cols),
             use_gan=True,
             perceptual=args.perceptual,
             dtype=args.dtype,
             remat=args.remat,
+            unet_base_features=args.unet_base_features,
             pretrained_part1_path=stage1_path if os.path.exists(stage1_path) else None,
             pretrained_part2_path=stage2_path if os.path.exists(stage2_path) else None,
         )
@@ -284,7 +297,10 @@ def main() -> None:
             [sys.executable, "tools/eval_quality.py",
              "--data", args.data, "--run_dir", args.out,
              "--rows", str(args.rows), "--cols", str(args.cols),
-             "--val_num", str(args.val_num), "--dtype", args.dtype],
+             "--val_num", str(args.val_num), "--dtype", args.dtype,
+             "--pad_size", str(args.pad_size),
+             "--num_planes", str(args.num_planes),
+             "--unet_base_features", str(args.unet_base_features)],
             check=True,
         )
 
