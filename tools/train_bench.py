@@ -41,11 +41,20 @@ def main():
     ap.add_argument("--rows", type=int, default=384)
     ap.add_argument("--cols", type=int, default=384)
     ap.add_argument("--distances", type=int, default=20)
+    ap.add_argument("--pad_size", type=int, default=320,
+                    help="config of record: 320; shrink for CPU smoke")
     ap.add_argument("--critic", default="pair",
                     choices=["separate", "pair", "full"],
                     help="critic_batching mode (see train/steps.py)")
     ap.add_argument("--two_h", action="store_true",
                     help="fused two-H hat/target reconstruction path")
+    ap.add_argument("--streaming", default="off",
+                    choices=["off", "float32", "bfloat16"],
+                    help="feed every step a FRESH host batch through the "
+                         "prefetch pipeline instead of reusing one resident "
+                         "batch — measures the input-bound streaming cadence "
+                         "(bfloat16 = half the wire bytes, see "
+                         "data/prefetch.epoch_loader)")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +65,7 @@ def main():
 
     trainer = Watermelon(
         filter_radius_coefficient=0.45,
-        pad_size=320,
+        pad_size=args.pad_size,
         distance_stack=np.linspace(-4e-4, 0.0, args.distances + 1)[:-1],
         input_shape=(args.batch, 4, args.rows, args.cols),
         use_gan=True,
@@ -71,12 +80,16 @@ def main():
         critic_batching=args.critic, two_h_hat=args.two_h,
     )
     rng = np.random.default_rng(0)
-    batch = tuple(
-        jnp.asarray(
-            rng.random((args.batch, c, args.rows, args.cols)).astype(np.float32)
+    wire_dtype = jnp.bfloat16 if args.streaming == "bfloat16" else np.float32
+    host_batches = [
+        tuple(
+            rng.random((args.batch, c, args.rows, args.cols))
+            .astype(np.float32).astype(wire_dtype)
+            for c in (4, 3, 3)
         )
-        for c in (4, 3, 3)
-    )
+        for _ in range(4 if args.streaming != "off" else 1)
+    ]
+    batch = tuple(jnp.asarray(a) for a in host_batches[0])
     state = trainer.state
 
     # AOT-compile ONCE and reuse the executable for both the cost analysis
@@ -101,18 +114,38 @@ def main():
     print(f"step 1: {time.perf_counter() - t0:.1f} s", file=sys.stderr, flush=True)
 
     times = []
-    for _ in range(args.steps):
-        t0 = time.perf_counter()
-        state, metrics = compiled(state, batch, trainer.gen_plan, trainer.multi_plan)
-        _ = float(metrics["G_loss"])
-        times.append(time.perf_counter() - t0)
+    if args.streaming == "off":
+        for _ in range(args.steps):
+            t0 = time.perf_counter()
+            state, metrics = compiled(state, batch, trainer.gen_plan,
+                                      trainer.multi_plan)
+            _ = float(metrics["G_loss"])
+            times.append(time.perf_counter() - t0)
+    else:
+        # the double-buffered prefetch thread device_puts the next host
+        # batch while the current step runs — the loader the real training
+        # loop uses (quality_run --streaming)
+        from learned_hologram_gan_tpu.data.prefetch import prefetch_to_device
+
+        def host_gen():
+            for i in range(args.steps):
+                yield host_batches[i % len(host_batches)]
+
+        for dev_batch in prefetch_to_device(host_gen(), size=2):
+            t0 = time.perf_counter()
+            state, metrics = compiled(state, dev_batch, trainer.gen_plan,
+                                      trainer.multi_plan)
+            _ = float(metrics["G_loss"])
+            times.append(time.perf_counter() - t0)
     best = min(times)
     median = sorted(times)[len(times) // 2]
 
     result = {
         "config": f"{args.rows}x{args.cols} batch {args.batch} ratio "
                   f"{args.ratio} D={args.distances} full WGAN-GP "
-                  f"critic={args.critic}",
+                  f"critic={args.critic}"
+                  + (f" streaming={args.streaming}"
+                     if args.streaming != "off" else ""),
         "steps_per_sec": round(1.0 / median, 3),
         "steps_per_sec_best": round(1.0 / best, 3),
         "samples_per_sec": round(args.batch / median, 2),
