@@ -221,6 +221,46 @@ def generator_apply_fused(
     )
 
 
+def generator_apply_quant(
+    generator: Generator,
+    variables,
+    qtree,
+    plan: asm.PropagatorPlan,
+    rgbd: jnp.ndarray,
+) -> jnp.ndarray:
+    """Eval-only Generator forward with the int8-quantized stage-1 UNet.
+
+    ``qtree`` comes from :func:`~learned_hologram_gan_tpu.nn.quant.
+    quantize_unet` over ``variables["params"]["part1"]["unet"]``.  Stage 2
+    (backward ASM + modulation + double-phase) stays float — it is spectral,
+    cheap, and parameter-light.  Quality delta vs the bf16 path is measured
+    by tools/eval_quant.py (BASELINE.md).
+    """
+    from ..nn.quant import unet_apply_q8, unet_apply_quant
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    dtype = (
+        jnp.bfloat16 if generator.config.dtype == "bfloat16" else jnp.float32
+    )
+    if "edges" in qtree:  # full-integer tree (quantize_unet_q8)
+        y = unet_apply_q8(qtree, nchw_to_nhwc(rgbd))
+    else:
+        y = unet_apply_quant(
+            qtree,
+            params["part1"]["unet"],
+            batch_stats["part1"]["unet"],
+            nchw_to_nhwc(rgbd),
+            dtype=dtype,
+        )
+    y = nhwc_to_nchw(y).astype(jnp.float32)
+    amp = generator.config.amplitude_scaler * y[:, :3]
+    phs = (2.0 * np.pi) * y[:, 3:]
+    return generator.apply(
+        {"params": params}, plan, amp, phs, method=Generator.stage2
+    )
+
+
 def make_generator_plan(
     config: GeneratorConfig, cache_h: bool = True
 ) -> asm.PropagatorPlan:
