@@ -236,10 +236,18 @@ def generator_apply_quant(
     cheap, and parameter-light.  Quality delta vs the bf16 path is measured
     by tools/eval_quant.py (BASELINE.md).
     """
+    from ..nn.fused_unet import supported
     from ..nn.quant import unet_apply_q8, unet_apply_quant
 
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if not supported(params["part1"]["unet"]):
+        # the quant walker assumes the plain UNet layout; a fourier/nested
+        # checkpoint would die with an opaque KeyError deep in _walk_unet
+        raise ValueError(
+            "generator_apply_quant supports only the standard UNet parameter "
+            "layout (no fourier/nested blocks); use generator.apply instead"
+        )
     dtype = (
         jnp.bfloat16 if generator.config.dtype == "bfloat16" else jnp.float32
     )

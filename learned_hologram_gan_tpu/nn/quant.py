@@ -16,9 +16,13 @@ Scheme (standard symmetric PTQ):
     forward; no retraining).
   * Compute: int8 x int8 -> int32 on the MXU, dequantized in the conv
     epilogue (XLA fuses the rescale+bias), residual adds / pools / sigmoid
-    in the float compute dtype.  The first conv (raw RGBD input) and the
-    1x1 head (sigmoid input) are quality-sensitive and cheap; they stay
-    float, the standard PTQ carve-out.
+    in the float compute dtype.  In the *dynamic* path (``quantize_unet`` /
+    ``unet_apply_quant``) the first conv (raw RGBD input) and the 1x1 head
+    (sigmoid input) stay float — the standard PTQ carve-out
+    (``_FLOAT_PATHS``).  The *full-integer* path (``quantize_unet_q8`` /
+    ``unet_apply_q8``) deliberately drops those carve-outs: every conv,
+    stem and head included, is int8 so the inter-op chain stays integer
+    end to end; its quality cost is what tools/eval_quant.py measures.
 
 Quality is measured, not assumed: ``tools/eval_quant.py`` re-runs the full
 20-plane focal-stack evaluation of BASELINE.md's quality run with the

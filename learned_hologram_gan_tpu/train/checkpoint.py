@@ -72,7 +72,9 @@ def load_generator_part(state: TrainState, path: str, part: str) -> TrainState:
 
     The reference supports per-part pretrained paths with optional freezing
     (generator.py:26-28, RGBD2AP.py:37-41); freezing is an optimizer concern
-    here (see ``optax.masked`` usage in pretrain.py).
+    here — ``Watermelon(freeze_part1=True)`` builds the generator optimizer
+    as ``optax.multi_transform`` with ``optax.set_to_zero()`` over the
+    ``part1`` subtree (train/watermelon.py:_init_state).
 
     Ablation variants can REMOVE a part's parameters entirely (e.g.
     ``use_modulation=False`` swaps AP2POH's symmetric conv for the

@@ -62,6 +62,7 @@ class Watermelon:
         pretrained_model_path_D: Optional[str] = None,
         pretrained_part1_path: Optional[str] = None,
         pretrained_part2_path: Optional[str] = None,
+        freeze_part1: bool = False,
         input_shape: Tuple[int, int, int, int] = (1, 4, 192, 192),
         # --- rebuild-specific extensions (ablation + precision knobs) ---
         use_gan: bool = True,
@@ -154,13 +155,39 @@ class Watermelon:
         # workflow (reference generator.py:26-28 / RGBD2AP.py:37-41)
         self.pretrained_part1_path = pretrained_part1_path
         self.pretrained_part2_path = pretrained_part2_path
+        # Reference RGBD2AP.py:37-41: load part1 pretrained and set
+        # requires_grad=False on every part1 parameter — train stage 2
+        # against a frozen stage 1.  Torch semantics freeze *parameters*
+        # only; BatchNorm running stats keep updating in train mode, and so
+        # do ours (batch_stats_G['part1'] is not pinned).
+        self.freeze_part1 = freeze_part1
 
         self.state: Optional[TrainState] = None
         self.infer_fn = build_infer_fn(self.generator)
 
     # ------------------------------------------------------------------
     def _init_state(self, seed: int, lr_G: float, lr_D: float) -> None:
-        self.tx_G = optax.adam(lr_G)
+        if self.freeze_part1:
+            # Zero every part1 update (reference RGBD2AP.py:37-41's
+            # requires_grad=False).  multi_transform keeps NO Adam state for
+            # the frozen subtree, so a frozen run cannot drift part1 even
+            # through optimizer-state rounding, and checkpoints stay smaller.
+            import jax as _jax
+
+            def _labels(params):
+                return {
+                    k: _jax.tree.map(
+                        lambda _: "frozen" if k == "part1" else "trainable", v
+                    )
+                    for k, v in params.items()
+                }
+
+            self.tx_G = optax.multi_transform(
+                {"trainable": optax.adam(lr_G), "frozen": optax.set_to_zero()},
+                _labels,
+            )
+        else:
+            self.tx_G = optax.adam(lr_G)
         self.tx_D = optax.adam(lr_D)
         self.state = create_train_state(
             seed,

@@ -403,3 +403,70 @@ def test_ablation_factories_train_one_step(factory_name, expect):
         discriminator_train_ratio=1, seed=5,
     )
     assert np.isfinite(hist["train_losses_tensor"]["G_loss"][0])
+
+
+def test_freeze_part1_pins_part1_while_part2_and_D_move():
+    """freeze_part1=True (reference RGBD2AP.py:37-41: requires_grad=False on
+    every stage-1 parameter) must leave part1 params BITWISE unchanged over
+    several GAN steps while part2 and the critic keep training."""
+    trainer = tiny_trainer(freeze_part1=True)
+    trainer._init_state(3, 1e-3, 1e-3)
+    # the jitted step donates the state buffers — snapshot to host first
+    before = jax.device_get(
+        {"part1": trainer.state.params_G["part1"],
+         "part2": trainer.state.params_G["part2"],
+         "D": trainer.state.params_D}
+    )
+    from learned_hologram_gan_tpu.config import LossConfig
+    from learned_hologram_gan_tpu.train.steps import build_train_step
+
+    step = build_train_step(
+        trainer.generator, trainer.discriminator, trainer.tx_G, trainer.tx_D,
+        LossConfig(perceptual="none"), use_gan=True,
+        discriminator_train_ratio=2, discriminator_lambda=10.0,
+    )
+    state = trainer.state
+    for batch in synthetic_batches(3):
+        state, _ = step(
+            state, jax.tree.map(jnp.asarray, batch),
+            trainer.gen_plan, trainer.multi_plan,
+        )
+    for leaf0, leaf1 in zip(
+        jax.tree.leaves(before["part1"]),
+        jax.tree.leaves(state.params_G["part1"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(leaf0), np.asarray(leaf1))
+    # part2 and the critic must have actually moved
+    moved = lambda a, b: any(
+        not np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+    assert moved(before["part2"], state.params_G["part2"])
+    assert moved(before["D"], state.params_D)
+
+
+def test_unfrozen_part1_moves():
+    """Control for the freeze test: the default optimizer moves part1."""
+    trainer = tiny_trainer()
+    trainer._init_state(3, 1e-3, 1e-3)
+    before = jax.device_get(trainer.state.params_G["part1"])
+    from learned_hologram_gan_tpu.config import LossConfig
+    from learned_hologram_gan_tpu.train.steps import build_train_step
+
+    step = build_train_step(
+        trainer.generator, trainer.discriminator, trainer.tx_G, trainer.tx_D,
+        LossConfig(perceptual="none"), use_gan=True,
+        discriminator_train_ratio=1, discriminator_lambda=10.0,
+    )
+    batch = synthetic_batches(1)[0]
+    state, _ = step(
+        trainer.state, jax.tree.map(jnp.asarray, batch),
+        trainer.gen_plan, trainer.multi_plan,
+    )
+    assert any(
+        not np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(
+            jax.tree.leaves(before),
+            jax.tree.leaves(state.params_G["part1"]),
+        )
+    )

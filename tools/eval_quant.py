@@ -153,6 +153,11 @@ def main() -> None:
             return amps[:b], amps[b:]
         return recon_all
 
+    # bound the SSIM moment stack for high-res runs (same sizing rule as
+    # tools/eval_quality.py; the 4K stack is ~12 GB unchunked)
+    h, w = trainer.gen_config.rows, trainer.gen_config.cols
+    ssim_chunk = max(1, int(4e8 / (5 * 4 * h * w)))
+
     results = {}
     for label, fn in (("bf16", apply_bf16), ("int8", apply_int8),
                       ("int8_static", apply_int8)):
@@ -168,7 +173,8 @@ def main() -> None:
             )
             tot_psnr += float(psnr(hat, tgt))
             tot_ssim += float(ssim(
-                hat.reshape(-1, *hat.shape[2:]), tgt.reshape(-1, *tgt.shape[2:])
+                hat.reshape(-1, *hat.shape[2:]), tgt.reshape(-1, *tgt.shape[2:]),
+                plane_chunk=ssim_chunk,
             ))
             n_batches += 1
             print(f"[{label}] metrics {start + len(list(idx))}/{args.val_num}",

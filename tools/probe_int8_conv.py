@@ -74,12 +74,15 @@ def main():
         except Exception as e:
             t_bf = None
             print(f"{name}: bf16 FAILED {type(e).__name__}: {str(e)[:100]}")
+        # format the bf16 column outside the int8 try so a bf16 failure
+        # (t_bf=None) cannot mislabel a *successful* int8 timing as FAILED
+        bf_str = f"{t_bf:.2f} ms" if t_bf is not None else "n/a"
         for label, fn, a, b in [("int8->i32", i8, x_i8, w_i8),
                                 ("int8->i8 requant", i8q, x_i8, w_i8)]:
             try:
                 t = time_fn(fn, a, b)
                 ratio = f"{t_bf / t:.2f}x" if t_bf else "?"
-                print(f"{name}: bf16 {t_bf:.2f} ms | {label} {t:.2f} ms ({ratio} vs bf16)")
+                print(f"{name}: bf16 {bf_str} | {label} {t:.2f} ms ({ratio} vs bf16)")
             except Exception as e:
                 print(f"{name}: {label} FAILED {type(e).__name__}: {str(e)[:120]}")
 

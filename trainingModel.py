@@ -108,6 +108,7 @@ def train_gan(args):
         pretrained_model_path_D=args.pretrained_D,
         pretrained_part1_path=args.pretrained_part1,
         pretrained_part2_path=args.pretrained_part2,
+        freeze_part1=args.freeze_part1,
         input_shape=(1, 4, args.height, args.width),
         use_gan=args.use_gan,
         perceptual=args.perceptual,
@@ -220,6 +221,10 @@ if __name__ == "__main__":
                              "(reference generator.py:26-28).")
     parser.add_argument('--pretrained_part2', type=str, default=None,
                         help="Stage-2 (AP2POH) pretrained msgpack.")
+    parser.add_argument('--freeze_part1', action='store_true',
+                        help="Freeze the stage-1 (RGBD2AP) parameters during "
+                             "fine-tuning (reference RGBD2AP.py:37-41): the "
+                             "generator optimizer zeroes every part1 update.")
     parser.add_argument('--resume_dir', type=str, default=None,
                         help="Directory for full-train-state checkpoints; restarting "
                              "with the same value resumes from the latest one.")
