@@ -127,6 +127,7 @@ def test_generator_resolution_agnostic():
     assert poh.shape == (1, 3, 64, 64)
 
 
+@pytest.mark.slow  # tiering: 38s (full-width generator init)
 def test_generator_modulation_ablation_has_no_conv_params():
     cfg = small_gen_config(use_modulation=False)
     gen = Generator(cfg)

@@ -76,6 +76,7 @@ def test_forward_train_and_stats_match(dtype):
     )
 
 
+@pytest.mark.slow  # tiering: 73s; polyphase is opt-in (f64 gradient oracle)
 def test_gradients_match_x64():
     """Gradient-path equivalence, proven in float64.
 
@@ -119,6 +120,7 @@ def test_gradients_match_x64():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow  # tiering: 36s; polyphase is opt-in
 def test_remat_polyphase_compiles():
     _, b, x, _, vb = _trees(remat=True)
     y, _ = jax.jit(

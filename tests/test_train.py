@@ -275,6 +275,7 @@ def test_resume_kill_restart(tmp_path):
     )
 
 
+@pytest.mark.slow  # tiering: 83s; kill-restart resume stays in the default gate
 def test_resume_chunked_no_fast_forward(tmp_path):
     """Chunked resume (start_epoch + resume_data_fast_forward=False) must be
     bitwise-equal to an uninterrupted run when the caller positions the

@@ -33,6 +33,11 @@ VARIANTS = {
     "without_GAN": dict(use_gan=False),
     "without_GAN_without_modulation": dict(use_gan=False, use_modulation=False),
     "without_GAN_and_plain_phase_loss": dict(use_gan=False, phase_loss="plain"),
+    "without_GAN_without_perceptual_loss": dict(use_gan=False, perceptual="none"),
+    "without_GAN_and_focal_sincos_phase_loss": dict(
+        use_gan=False, phase_loss="focal_sincos"),
+    "without_GAN_and_phase_sincos_gradient_loss": dict(
+        use_gan=False, phase_loss="sincos_gradient"),
 }
 
 
@@ -96,7 +101,7 @@ def main() -> None:
             return device_epoch_loader(dev_val, max(args.batch_size // 2, 1),
                                        shuffle=False, drop_last=False)
 
-        trainer = Watermelon(
+        trainer_kw = dict(
             filter_radius_coefficient=0.45,
             pad_size=320,
             distance_stack=np.linspace(-4e-4, 0.0, 21)[:-1],
@@ -105,8 +110,9 @@ def main() -> None:
             dtype=args.dtype,
             pretrained_part1_path=part1 if os.path.exists(part1) else None,
             pretrained_part2_path=part2 if os.path.exists(part2) else None,
-            **overrides,
         )
+        trainer_kw.update(overrides)  # variant wins (e.g. perceptual="none")
+        trainer = Watermelon(**trainer_kw)
         t0 = time.time()
         trainer.train(
             data_loader_train=loader_train,
@@ -144,6 +150,17 @@ def main() -> None:
         summary[name] = {"val_PSNR": s["val_PSNR"], "val_SSIM": s["val_SSIM"]}
         print(json.dumps({name: summary[name]}), flush=True)
 
+    # Aggregate EVERY variant with a committed eval summary — not just the
+    # ones trained in this invocation — so partial runs can't shrink
+    # ordering.json to a single entry (round-3 VERDICT weak #5).
+    for name in sorted(os.listdir(args.out)):
+        path = os.path.join(args.out, name, "eval", "summary.json")
+        if name not in summary and os.path.exists(path):
+            with open(path) as f:
+                s = json.load(f)
+            summary[name] = {
+                "val_PSNR": s["val_PSNR"], "val_SSIM": s["val_SSIM"]
+            }
     with open(os.path.join(args.out, "ordering.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
