@@ -276,20 +276,28 @@ class FakeChannelWiseSymmetricConv(nn.Module):
 
 
 class PixelShuffleConvTranspose(nn.Module):
-    """2x2/stride-2 transposed conv computed as one GEMM + pixel shuffle.
+    """2x2/stride-2 transposed conv (two bit-equal implementations).
 
-    Mathematically identical to ``nn.ConvTranspose(features, (2, 2),
-    strides=(2, 2))``: with kernel == stride each output pixel receives
-    exactly one tap, so ``out[n, 2i+di, 2j+dj, co] = sum_ci x[n, i, j, ci]
-    * kernel[1-di, 1-dj, ci, co] + bias[co]`` (``lax.conv_transpose``
-    spatially flips the kernel; verified by delta-input probe).  XLA lowers ``ConvTranspose`` to
-    an input-dilated convolution, which the TPU conv emitter handles poorly
-    (measured 3-10x above the bandwidth roofline at the UNet's decoder
-    sizes, tools/profile_unet.py); a plain (N*H*W, Cin) x (Cin, 4*Cout)
-    GEMM feeds the MXU directly and the shuffle is a reshape/transpose the
-    compiler fuses.  Parameter names/shapes match ``nn.ConvTranspose``
-    (``kernel`` HWIO (2, 2, Cin, Cout), ``bias`` (Cout,)) so checkpoints
-    interchange (tools/convert_reference_weights.py pins this layout).
+    ``impl="conv_transpose"`` (default) lowers through
+    ``lax.conv_transpose``; ``impl="gemm"`` computes the identical op as a
+    plain (N*H*W, Cin) x (Cin, 4*Cout) GEMM + pixel shuffle: with kernel ==
+    stride each output pixel receives exactly one tap, so ``out[n, 2i+di,
+    2j+dj, co] = sum_ci x[n, i, j, ci] * kernel[1-di, 1-dj, ci, co] +
+    bias[co]`` (``lax.conv_transpose`` spatially flips the kernel; verified
+    by delta-input probe).
+
+    Measurement history (this chip/XLA): round 3 adopted the GEMM form on a
+    per-stage roofline argument, but the headline bench regressed 225 -> 196
+    POH/s at exactly that commit (round-4 bisect) and the per-geometry A/B
+    (tools/probe_upconv.py) shows ``lax.conv_transpose`` equal or faster at
+    every decoder size — the shuffle's (n,h,2,w,2,c) transpose is
+    lane-hostile at 64/128 output channels.  The default follows the
+    end-to-end number; the GEMM form stays as an opt-in for chips/compilers
+    that price the dilated-conv lowering worse.
+
+    Parameter names/shapes match ``nn.ConvTranspose`` (``kernel`` HWIO
+    (2, 2, Cin, Cout), ``bias`` (Cout,)) so checkpoints interchange across
+    both impls (tools/convert_reference_weights.py pins this layout).
 
     Reference op being reproduced: torch ``nn.ConvTranspose2d(.., 2,
     stride=2)``, neural_network_components.py:252-257,274-289.
@@ -297,6 +305,7 @@ class PixelShuffleConvTranspose(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    impl: str = "conv_transpose"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -305,6 +314,15 @@ class PixelShuffleConvTranspose(nn.Module):
             "kernel", conv_transpose_init, (2, 2, cin, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.impl == "conv_transpose":
+            y = jax.lax.conv_transpose(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                (2, 2),
+                "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(self.dtype)
         # flip spatial taps, then (2, 2, Cin, Cout) -> (Cin, 2, 2, Cout)
         # -> (Cin, 4*Cout)
         wmat = jnp.transpose(kernel[::-1, ::-1], (2, 0, 1, 3)).reshape(

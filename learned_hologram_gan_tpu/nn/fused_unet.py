@@ -46,14 +46,19 @@ def _block_eval(p: Dict, bs: Dict, x: jnp.ndarray, use_pallas: bool) -> jnp.ndar
 
 
 def _pixel_shuffle_up(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    """GEMM + pixel-shuffle 2x up-conv (PixelShuffleConvTranspose math)."""
+    """2x2/stride-2 up-conv (PixelShuffleConvTranspose, conv_transpose impl).
+
+    The GEMM+shuffle form measured slower end-to-end on this chip (headline
+    bench 225 -> 196 POH/s at its adoption commit; per-geometry A/B in
+    tools/probe_upconv.py) — the dilated-conv lowering wins here.
+    """
+    import jax
+
     kernel, bias = p["kernel"], p["bias"]
-    n, h, w, cin = x.shape
-    cout = kernel.shape[-1]
-    wmat = jnp.transpose(kernel[::-1, ::-1], (2, 0, 1, 3)).reshape(cin, 4 * cout)
-    y = jnp.dot(x, wmat.astype(x.dtype))
-    y = y.reshape(n, h, w, 2, 2, cout)
-    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(n, 2 * h, 2 * w, cout)
+    y = jax.lax.conv_transpose(
+        x, kernel.astype(x.dtype), (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
     return y + bias.astype(x.dtype)
 
 

@@ -210,17 +210,20 @@ def test_pixel_shuffle_conv_transpose_equals_flax_convtranspose():
     from flax import linen as nn
 
     x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 6, 5, 8)), jnp.float32)
-    fast = blocks.PixelShuffleConvTranspose(4)
+    default = blocks.PixelShuffleConvTranspose(4)
+    gemm = blocks.PixelShuffleConvTranspose(4, impl="gemm")
     ref = nn.ConvTranspose(4, (2, 2), strides=(2, 2))
-    v = fast.init(jax.random.key(0), x)
+    v = default.init(jax.random.key(0), x)
     assert set(v["params"].keys()) == {"kernel", "bias"}
     assert v["params"]["kernel"].shape == (2, 2, 8, 4)
     assert v["params"]["bias"].shape == (4,)
-    out_fast = fast.apply(v, x)
+    out_default = default.apply(v, x)
+    out_gemm = gemm.apply(v, x)
     out_ref = ref.apply(v, x)  # identical param tree loads directly
-    assert out_fast.shape == (2, 12, 10, 4)
-    np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_ref),
-                               rtol=1e-5, atol=1e-5)
+    assert out_default.shape == (2, 12, 10, 4)
+    for out in (out_default, out_gemm):
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_unet_param_tree_unchanged_by_pixel_shuffle_upconv():
