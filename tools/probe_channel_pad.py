@@ -18,6 +18,12 @@ exchange for full 128-lane tiles.  This probe prices each geometry pair on
 the real chip so the trade is adopted or refuted with data (round-3 VERDICT
 item 1).  Reference widths: neural_network_components.py:241-315.
 
+Timing harness: each case runs REPS times inside ONE jitted fori_loop with
+a serial data dependence (the accumulator perturbs the input), so the
+~tens-of-ms relay dispatch cost is amortized and the fetch is a scalar —
+output-size-independent, unlike a naive per-call fetch which biases against
+the (2x larger) padded outputs.
+
 Usage: python tools/probe_channel_pad.py [--batch 16] [--hw 384]
 """
 
@@ -32,26 +38,38 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+REPS = 20
 
-def time_fn(fn, *args, reps=10):
+
+def make_timed(conv):
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     @jax.jit
-    def _absum(x):
-        return jnp.sum(jnp.abs(x.ravel()[::97]).astype(jnp.float32))
+    def run(x, w):
+        def body(i, acc):
+            # acc perturbs the input -> serial dependence, no hoisting;
+            # the FULL-tensor mean keeps XLA from narrowing the conv to the
+            # one output element a scalar fetch would need (slice-through-
+            # conv DCE produced >peak-FLOP readings in the first harness)
+            y = conv(x * (1.0 + acc * 1e-30).astype(x.dtype), w)
+            return acc + jnp.mean(y.astype(jnp.float32))
 
-    def fetch(out):
-        return float(_absum(out))
+        return lax.fori_loop(0, REPS, body, jnp.float32(0.0))
 
-    fetch(fn(*args))
-    best = float("inf")
-    for _ in range(reps):
+    return run
+
+
+def time_case(run, x, w, trials=4):
+    t_best = float("inf")
+    float(run(x, w))  # compile
+    for _ in range(trials):
         t0 = time.perf_counter()
-        out = fn(*args)
-        fetch(out)
-        best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+        v = float(run(x, w))
+        t_best = min(t_best, time.perf_counter() - t0)
+        assert np.isfinite(v)
+    return t_best / REPS * 1e3
 
 
 def main():
@@ -74,49 +92,44 @@ def main():
             preferred_element_type=jnp.bfloat16,
         )
 
-    conv = jax.jit(conv)
+    run_conv = make_timed(conv)
 
-    # (label, cin, cout, hw) pairs: each lane-wasting geometry and its
-    # padded-to-128 counterpart (plus the head's padded-output variant).
     cases = [
-        ("enc_0 conv1  4->64", 4, 64, HW),
-        ("enc_0 conv1  4->128 (pad out)", 4, 128, HW),
-        ("enc_0 conv2 64->64", 64, 64, HW),
-        ("enc_0 conv2 128->128 (pad)", 128, 128, HW),
-        ("dec_0 conv1 128->64", 128, 64, HW),
-        ("dec_0 conv1 128->128 (pad out)", 128, 128, HW),
-        ("head 1x1 64->6", 64, 6, HW),
-        ("head 1x1 128->8 (pad)", 128, 8, HW),
-        ("head 1x1 128->128 (pad out)", 128, 128, HW),
-        ("enc_1 conv 64->128 @192", 64, 128, HW // 2),
-        ("enc_1 conv 128->128 @192 (pad in)", 128, 128, HW // 2),
+        ("enc_0 conv1  4->64", 4, 64, HW, 3),
+        ("enc_0 conv1  4->128 (pad out)", 4, 128, HW, 3),
+        ("enc_0 conv2 64->64", 64, 64, HW, 3),
+        ("enc_0 conv2 128->128 (pad)", 128, 128, HW, 3),
+        ("dec_0 conv1 128->64", 128, 64, HW, 3),
+        ("dec_0 conv1 128->128 (pad out)", 128, 128, HW, 3),
+        ("dec_0 conv1 256->128 (pad in+out)", 256, 128, HW, 3),
+        ("head 1x1 64->6", 64, 6, HW, 1),
+        ("head 1x1 128->8 (pad)", 128, 8, HW, 1),
+        ("enc_1 conv 64->128 @192", 64, 128, HW // 2, 3),
+        ("enc_1 conv 128->128 @192 (pad in)", 128, 128, HW // 2, 3),
     ]
-    results = {}
-    for label, cin, cout, hw in cases:
+    for label, cin, cout, hw, k in cases:
         x = jnp.asarray(
             rng.standard_normal((B, hw, hw, cin)).astype(np.float32),
             jnp.bfloat16,
         )
-        k = 1 if label.startswith("head") else 3
         w = jnp.asarray(
             rng.standard_normal((k, k, cin, cout)).astype(np.float32) * 0.05,
             jnp.bfloat16,
         )
-        t = time_fn(conv, x, w)
-        results[label] = t
-        print(f"{label:38s} {t:7.2f} ms")
+        t = time_case(run_conv, x, w)
+        print(f"{label:36s} {t:7.2f} ms", flush=True)
 
-    # grad-side pricing: the UNet *backward* is 4x its forward at the config
-    # of record — price conv data/weight grads for the worst stage too
-    def conv_and_grads(x, w):
+    # grad-side pricing: the UNet backward is ~4x its forward at the config
+    # of record; price the fused fwd+both-grads for the worst geometries
+    def conv_grads(x, w):
         def f(x_, w_):
             return jnp.sum(conv(x_, w_).astype(jnp.float32) ** 2)
 
         gx, gw = jax.grad(f, argnums=(0, 1))(x, w)
         return gx
 
-    conv_and_grads = jax.jit(conv_and_grads)
-    for label, cin, cout, hw in cases:
+    run_grads = make_timed(conv_grads)
+    for label, cin, cout, hw, k in cases:
         if "dec_0" not in label and "enc_0 conv2" not in label:
             continue
         x = jnp.asarray(
@@ -124,11 +137,11 @@ def main():
             jnp.bfloat16,
         )
         w = jnp.asarray(
-            rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.05,
+            rng.standard_normal((k, k, cin, cout)).astype(np.float32) * 0.05,
             jnp.bfloat16,
         )
-        t = time_fn(conv_and_grads, x, w)
-        print(f"grad {label:33s} {t:7.2f} ms")
+        t = time_case(run_grads, x, w)
+        print(f"grad {label:31s} {t:7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
