@@ -27,26 +27,45 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def time_fn(fn, *args, reps=10):
+REPS = 10
+
+
+def make_timed(fn):
+    """REPS calls inside one jit: serial dependence (params perturbed by the
+    accumulator) prevents hoisting; reducing EVERY output leaf prevents XLA
+    from dead-code-eliminating any of the gradient tree (see the harness
+    notes in tools/probe_channel_pad.py)."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     @jax.jit
-    def _absum(x):
-        return jnp.sum(jnp.abs(x.ravel()[::97]).astype(jnp.float32))
+    def run(p):
+        def body(i, acc):
+            p2 = jax.tree.map(
+                lambda a: a * (1.0 + acc * 1e-30).astype(a.dtype), p
+            )
+            out = fn(p2)
+            s = jnp.float32(0.0)
+            for leaf in jax.tree.leaves(out):
+                s = s + jnp.mean(leaf.astype(jnp.float32))
+            return acc + s * 1e-30
 
-    def fetch(out):
-        leaf = jax.tree.leaves(out)[0]
-        return float(_absum(leaf))
+        return lax.fori_loop(0, REPS, body, jnp.float32(0.0))
 
-    fetch(fn(*args))
+    return run
+
+
+def time_fn(fn, p, trials=4):
+    run = make_timed(fn)
+    float(run(p))  # compile
     best = float("inf")
-    for _ in range(reps):
+    for _ in range(trials):
         t0 = time.perf_counter()
-        out = fn(*args)
-        fetch(out)
+        v = float(run(p))
         best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+        assert np.isfinite(v)
+    return best / REPS * 1e3
 
 
 def main():
@@ -98,36 +117,36 @@ def main():
     probes = {}
 
     # 1. pair apply fwd only
-    probes["pair apply fwd (2B)"] = jax.jit(
+    probes["pair apply fwd (2B)"] = (
         lambda p: critic_pair_loss(p, jnp.concatenate([real, fake]))[0]
     )
     # 2. pair apply value+grad (no GP)
-    probes["pair value_and_grad (no GP)"] = jax.jit(
+    probes["pair value_and_grad (no GP)"] = (
         lambda p: jax.value_and_grad(
             lambda q: critic_pair_loss(q, jnp.concatenate([real, fake]))[0]
         )(p)[1]
     )
     # 3. GP fwd only (inner grad, no outer backward)
     interp = alpha * real + (1 - alpha) * fake
-    probes["GP forward (inner grad only)"] = jax.jit(
+    probes["GP forward (inner grad only)"] = (
         lambda p: gp_core(p, interp)
     )
     # 4. GP value+grad wrt params — the double backward, as shipped
-    probes["GP value_and_grad (baseline)"] = jax.jit(
+    probes["GP value_and_grad (baseline)"] = (
         lambda p: jax.grad(lambda q: gp_core(q, interp))(p)
     )
     # 5. + remat on the inner critic
-    probes["GP v&g remat"] = jax.jit(
+    probes["GP v&g remat"] = (
         lambda p: jax.grad(lambda q: gp_core(q, interp, remat=True))(p)
     )
     # 6. + remat with dots_saveable policy (keep matmuls, recompute the rest)
-    probes["GP v&g remat dots_saveable"] = jax.jit(
+    probes["GP v&g remat dots_saveable"] = (
         lambda p: jax.grad(
             lambda q: gp_core(q, interp, remat=True, policy=cp.checkpoint_dots)
         )(p)
     )
     # 7. params+interp cast bf16, norm f32
-    probes["GP v&g bf16 params/interp"] = jax.jit(
+    probes["GP v&g bf16 params/interp"] = (
         lambda p: jax.grad(lambda q: gp_core(q, interp, cast_bf16=True))(p)
     )
     # 8. full d-iteration (pair + GP), as in the train step
@@ -137,7 +156,7 @@ def main():
         loss1, _ = critic_pair_loss(p, jnp.concatenate([real, fake]))
         return loss1 + lam * gp_core(p, interp)
 
-    probes["full d-iter value_and_grad"] = jax.jit(
+    probes["full d-iter value_and_grad"] = (
         lambda p: jax.value_and_grad(d_iter)(p)[1]
     )
     # 9. full d-iter with the bf16 GP
@@ -145,16 +164,17 @@ def main():
         loss1, _ = critic_pair_loss(p, jnp.concatenate([real, fake]))
         return loss1 + lam * gp_core(p, interp, cast_bf16=True)
 
-    probes["full d-iter, bf16 GP"] = jax.jit(
+    probes["full d-iter, bf16 GP"] = (
         lambda p: jax.value_and_grad(d_iter_bf16gp)(p)[1]
     )
 
     for label, fn in probes.items():
         try:
             t = time_fn(fn, p_D)
-            print(f"{label:34s} {t:7.2f} ms")
+            print(f"{label:34s} {t:7.2f} ms", flush=True)
         except Exception as e:  # pragma: no cover
-            print(f"{label:34s} FAILED {type(e).__name__}: {str(e)[:110]}")
+            print(f"{label:34s} FAILED {type(e).__name__}: {str(e)[:110]}",
+                  flush=True)
 
 
 if __name__ == "__main__":
