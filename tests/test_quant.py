@@ -127,3 +127,28 @@ def test_calibration_batch_independence():
     for path, q in q_big.items():
         if "xs" in q:
             assert float(q["xs"]) >= float(q_small[path]["xs"]) - 1e-12
+
+
+def test_generator_apply_quant_rejects_fourier_tree():
+    """The quant walker assumes the plain UNet layout; a fourier checkpoint
+    must be rejected with a clear error, not a deep KeyError (ADVICE r3)."""
+    import pytest
+
+    from learned_hologram_gan_tpu.config import GeneratorConfig
+    from learned_hologram_gan_tpu.models import (
+        Generator,
+        generator_apply_quant,
+        make_generator_plan,
+    )
+
+    cfg = GeneratorConfig(rows=16, cols=16, pad_size=4, unet_base_features=4)
+    gen = Generator(cfg)
+    plan = make_generator_plan(cfg)
+    rgbd = jnp.zeros((1, 4, 16, 16))
+    # a fourier UNet nests ResidualBlocks one level deeper; splice its tree
+    # under part1/unet (the guard must fire before anything else is touched)
+    funet = UNet(output_channels=6, base_features=4, levels=2, fourier=True)
+    fv = funet.init(jax.random.key(0), jnp.zeros((1, 16, 16, 4)), True)
+    variables = {"params": {"part1": {"unet": fv["params"]}}}
+    with pytest.raises(ValueError, match="standard UNet parameter layout"):
+        generator_apply_quant(gen, variables, {}, plan, rgbd)

@@ -15,8 +15,11 @@ mkdir -p "$OUT"
 for part in rgbd2ap.msgpack ap2poh.msgpack; do
   [ -f "$OUT/$part" ] || cp "output/quality_run/$part" "$OUT/$part"
 done
-EPOCHS_PER_CHUNK=2
-TOTAL=8
+# persistent compilation cache: every chunk is a fresh process on identical
+# shapes — without this each restart pays the full ~5 min trace+compile
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}
+EPOCHS_PER_CHUNK=1
+TOTAL=4
 for ((start = 0; start < TOTAL; start += EPOCHS_PER_CHUNK)); do
   end=$((start + EPOCHS_PER_CHUNK))
   echo "=== chunk: epochs $start -> $end (fresh process) ==="
