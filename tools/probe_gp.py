@@ -77,13 +77,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from learned_hologram_gan_tpu.config import DiscriminatorConfig
     from learned_hologram_gan_tpu.models.discriminator import WGANGPDiscriminator192
     from learned_hologram_gan_tpu.train.steps import _apply_d
 
     rng = np.random.default_rng(0)
     B, HW = args.batch, args.hw
-    disc = WGANGPDiscriminator192(DiscriminatorConfig(dtype="bfloat16"))
+    disc = WGANGPDiscriminator192(feature_d=32, dtype=jnp.bfloat16)
     real = jnp.asarray(rng.random((B, 3, HW, HW)).astype(np.float32))
     fake = jnp.asarray(rng.random((B, 3, HW, HW)).astype(np.float32))
     variables = disc.init(jax.random.key(0), real[:1], train=True)
