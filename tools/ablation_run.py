@@ -127,7 +127,12 @@ def main() -> None:
             lr_D=1e-3,
             save_path_G=os.path.join(out_dir, "generator.msgpack"),
             save_path_D=None,
-            info_print_interval=50,
+            # In-train validation is read-only (training math unchanged) and
+            # at the 50-batch reference cadence it spends ~60% of each
+            # variant's wall clock re-running the full 20-plane val pass.
+            # The ordering study's datum is the FINAL eval_quality pass over
+            # the full val set, so the in-train cadence is effectively off.
+            info_print_interval=100_000,
             info_plot_interval=10_000,
             loss_metrics_file=os.path.join(out_dir, "history.json"),
             save_path_img=None,

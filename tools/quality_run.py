@@ -86,6 +86,9 @@ def main() -> None:
                          "runs must be CHUNKED: run N epochs per process "
                          "with --start_epoch/--gan_epochs and a shared "
                          "--out (resume state carries across processes).")
+    ap.add_argument("--info_interval", type=int, default=50,
+                    help="batches between metric prints / validation passes "
+                         "(validation is read-only; raise for long epochs)")
     ap.add_argument("--start_epoch", type=int, default=0,
                     help="first GAN epoch of this process (chunked runs); "
                          "loaders are seed-offset and resume skips its "
@@ -272,7 +275,7 @@ def main() -> None:
             lr_D=1e-3,
             save_path_G=os.path.join(args.out, "generator.msgpack"),
             save_path_D=os.path.join(args.out, "discriminator.msgpack"),
-            info_print_interval=50,
+            info_print_interval=args.info_interval,
             info_plot_interval=250,
             loss_metrics_file=os.path.join(args.out, "history.json"),
             save_path_img=img_dir,

@@ -28,7 +28,7 @@ for ((start = 0; start < TOTAL; start += EPOCHS_PER_CHUNK)); do
     --train_num 3800 --val_num 100 \
     --streaming --skip_stage1 --skip_stage2 --skip_eval \
     --batch_size 8 --data_dtype bfloat16 \
-    --start_epoch "$start" --gan_epochs "$end"
+    --start_epoch "$start" --gan_epochs "$end" --info_interval 100000
 done
 echo "=== final eval ==="
 python tools/eval_quality.py --data data/synth384_big --run_dir "$OUT" \
