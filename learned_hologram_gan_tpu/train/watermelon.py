@@ -314,6 +314,30 @@ class Watermelon:
 
         start_step = 0
         if resume_dir is not None:
+            # freeze_part1 changes the generator opt_state STRUCTURE
+            # (multi_transform with no Adam state for part1 vs plain adam),
+            # so restoring a checkpoint written under the opposite setting
+            # fails deep inside deserialization with a structure-mismatch
+            # error that never mentions the flag.  Guard with explicit
+            # metadata and name the flag (round-4 ADVICE).
+            meta_path = os.path.join(resume_dir, "meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                if meta.get("freeze_part1") != self.freeze_part1:
+                    raise ValueError(
+                        f"resume_dir {resume_dir!r} holds checkpoints written "
+                        f"with freeze_part1={meta.get('freeze_part1')}, but this "
+                        f"trainer was built with freeze_part1={self.freeze_part1}. "
+                        "The generator optimizer-state structure differs between "
+                        "the two settings, so the checkpoint cannot be restored; "
+                        "re-run with the matching --freeze_part1 setting or point "
+                        "resume_dir at a fresh directory."
+                    )
+            else:
+                os.makedirs(resume_dir, exist_ok=True)
+                with open(meta_path, "w") as f:
+                    json.dump({"freeze_part1": self.freeze_part1}, f)
             restored = ckpt_lib.restore_latest(resume_dir, self.state)
             if restored is not None:
                 self.state = restored

@@ -446,6 +446,29 @@ def test_freeze_part1_pins_part1_while_part2_and_D_move():
     assert moved(before["D"], state.params_D)
 
 
+def test_resume_freeze_part1_mismatch_is_a_named_error(tmp_path):
+    """Resuming a resume_dir written under the opposite freeze_part1 setting
+    must fail LOUDLY with an error naming the flag — the raw failure mode is
+    an opt_state structure mismatch deep in deserialization (multi_transform
+    with no part1 Adam state vs plain adam) that never mentions freeze_part1
+    (round-4 ADVICE)."""
+    resume_dir = str(tmp_path / "resume")
+    common = dict(
+        data_loader_train=lambda: iter([]),
+        data_loader_val=lambda: iter([]),
+        epoch_num=0,
+        resume_dir=resume_dir,
+    )
+    # first run stamps meta.json with freeze_part1=False
+    tiny_trainer().train(**common)
+    assert os.path.exists(os.path.join(resume_dir, "meta.json"))
+    # opposite setting against the same dir: error that names the flag
+    with pytest.raises(ValueError, match="freeze_part1"):
+        tiny_trainer(freeze_part1=True).train(**common)
+    # same setting is accepted (no checkpoint yet -> fresh start, no raise)
+    tiny_trainer().train(**common)
+
+
 def test_unfrozen_part1_moves():
     """Control for the freeze test: the default optimizer moves part1."""
     trainer = tiny_trainer()

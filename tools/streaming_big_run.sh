@@ -1,7 +1,7 @@
 #!/bin/bash
 # Full-size-dataset streaming GAN training with chunked resume (round-3
 # VERDICT item 6): 3,800 train samples (the real MIT-CGH-4K count,
-# reference README.md:28-38) streamed from host memmaps in 2-epoch process
+# reference README.md:28-38) streamed from host memmaps in 1-epoch process
 # chunks — each chunk is a FRESH process that resumes from the shared
 # resume_dir via --start_epoch (no O(epochs^2) replay), bounding the axon
 # relay's per-H2D-buffer pinning leak.  3 restarts total.  Reuses the
