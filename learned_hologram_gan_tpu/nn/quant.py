@@ -486,3 +486,33 @@ def quantized_bytes(qtree: Dict) -> int:
         for q in qtree.values()
         for v in q.values()
     )
+
+
+def save_qtree(qtree: Dict, path: str) -> None:
+    """Persist a :func:`quantize_unet_q8` tree as a flat ``.npz``.
+
+    Lets a server load the committed quantized model (int8 weights + f32
+    scales/biases + requant edge scales) without re-running calibration —
+    the deployment artifact `tools/serve_poh.py --quantize int8` consumes.
+    Keys: ``edges/<name>`` scalars and ``<conv path>/{w,ws,b}`` arrays.
+    """
+    flat = {f"edges/{k}": np.asarray(v) for k, v in qtree["edges"].items()}
+    for path_key, q in qtree.items():
+        if path_key == "edges":
+            continue
+        for leaf, v in q.items():
+            flat[f"{path_key}/{leaf}"] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_qtree(path: str) -> Dict:
+    """Inverse of :func:`save_qtree`: rebuild the jnp qtree from ``.npz``."""
+    with np.load(path) as z:
+        qtree: Dict[str, Any] = {"edges": {}}
+        for key in z.files:
+            group, _, leaf = key.partition("/")
+            if group == "edges":
+                qtree["edges"][leaf] = jnp.float32(z[key])
+            else:
+                qtree.setdefault(group, {})[leaf] = jnp.asarray(z[key])
+    return qtree

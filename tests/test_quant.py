@@ -95,6 +95,38 @@ def test_q8_static_pipeline_within_quant_noise():
         assert np.max(np.abs(got - want)) < 0.2, levels
 
 
+def test_qtree_save_load_roundtrip_bitwise(tmp_path):
+    """save_qtree/load_qtree (the serve_poh --quantize int8 deployment
+    artifact) must round-trip every leaf bitwise: int8 weight codes, f32
+    scales/biases, and the requant edge scalars."""
+    from learned_hologram_gan_tpu.nn.quant import (
+        load_qtree,
+        quantize_unet_q8,
+        save_qtree,
+        unet_apply_q8,
+    )
+
+    params, stats, x = _tiny_unet(levels=2)
+    qtree = quantize_unet_q8(params, stats, x)
+    path = str(tmp_path / "qtree.npz")
+    save_qtree(qtree, path)
+    loaded = load_qtree(path)
+
+    assert set(loaded) == set(qtree)
+    assert set(loaded["edges"]) == set(qtree["edges"])
+    for group, q in qtree.items():
+        for leaf, v in q.items():
+            got = np.asarray(loaded[group][leaf])
+            want = np.asarray(v)
+            assert got.dtype == want.dtype, (group, leaf)
+            np.testing.assert_array_equal(got, want)
+    # and the loaded tree drives the apply identically
+    np.testing.assert_array_equal(
+        np.asarray(unet_apply_q8(loaded, x)),
+        np.asarray(unet_apply_q8(qtree, x)),
+    )
+
+
 def test_q8_int8_tensors_end_to_end():
     # the packed tree really is int8 weights (not a float fallback)
     from learned_hologram_gan_tpu.nn.quant import quantize_unet_q8

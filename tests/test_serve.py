@@ -151,6 +151,76 @@ def test_focal_stack_endpoint(server):
     assert b"X-Distances" in resp.read()
 
 
+INT8_PORT = PORT + 1
+
+
+@pytest.fixture(scope="module")
+def server_int8(tmp_path_factory):
+    """A second server with --quantize int8: startup calibration from a
+    committed-style RGBD batch, qtree saved to disk (the deployment flow)."""
+    tmp = tmp_path_factory.mktemp("int8_serve")
+    calib = str(tmp / "calib.npy")
+    qtree = str(tmp / "qtree.npz")
+    rng = np.random.default_rng(11)
+    np.save(calib, rng.random((4, 4, ROWS, COLS)).astype(np.float32))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "tools/serve_poh.py", "--cpu", "--rows", str(ROWS),
+         "--cols", str(COLS), "--pad_size", "4", "--unet_base_features", "2",
+         "--port", str(INT8_PORT), "--buckets", "1", "2",
+         "--batch_timeout_ms", "30", "--quantize", "int8",
+         "--calib_path", calib, "--qtree_path", qtree],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True,
+    )
+    deadline = time.time() + 300
+    for line in proc.stdout:
+        if "serving POH" in line:
+            break
+        if time.time() > deadline or proc.poll() is not None:
+            raise RuntimeError(f"int8 server failed to start: {line}")
+    yield proc, qtree
+    proc.terminate()
+    proc.wait(timeout=30)
+
+
+def _post_to(port, rgbd: np.ndarray):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    body = np.ascontiguousarray(rgbd, np.float32).tobytes()
+    conn.request("POST", "/poh", body=body,
+                 headers={"X-Batch": str(rgbd.shape[0]),
+                          "Content-Length": str(len(body))})
+    resp = conn.getresponse()
+    data = resp.read()
+    if resp.status != 200:
+        raise RuntimeError(data.decode())
+    shape = tuple(int(v) for v in resp.getheader("X-Shape").split(","))
+    return np.frombuffer(data, np.float32).reshape(shape)
+
+
+def test_int8_server_serves_and_persists_qtree(server_int8):
+    proc, qtree_path = server_int8
+    # healthz reports the model precision
+    conn = http.client.HTTPConnection("127.0.0.1", INT8_PORT, timeout=60)
+    conn.request("GET", "/healthz")
+    health = conn.getresponse().read()
+    assert b'"quantize": "int8"' in health
+    # startup calibration wrote the reusable deployment artifact
+    assert os.path.exists(qtree_path)
+
+    rng = np.random.default_rng(2)
+    rgbd = rng.random((1, 4, ROWS, COLS)).astype(np.float32)
+    poh = _post_to(INT8_PORT, rgbd)
+    assert poh.shape == (1, 3, ROWS, COLS)
+    assert np.isfinite(poh).all()
+    assert poh.min() >= -2 * np.pi - 1e-3 and poh.max() <= 4 * np.pi + 1e-3
+    # deterministic across micro-batches
+    again = _post_to(INT8_PORT, rgbd)
+    np.testing.assert_allclose(poh, again, atol=1e-5)
+
+
 def test_quantized_wire_format(server):
     """X-Quantize: u16 returns phase quantized to 2pi/65536 — reconstruct
     and compare against the f32 response mod 2pi."""

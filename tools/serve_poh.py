@@ -53,7 +53,8 @@ class PohService:
     def __init__(self, model_path, rows, cols, pad_size,
                  filter_radius_coefficient=0.45, unet_base_features=64,
                  dtype="float32", buckets=(1, 2, 4, 8), batch_timeout_ms=5.0,
-                 cpu=False):
+                 cpu=False, quantize="none", qtree_path=None, calib_path=None,
+                 calib_num=8):
         if cpu:
             import jax
 
@@ -94,11 +95,76 @@ class PohService:
             print(f"WARNING: model path {model_path!r} not found; random init")
         self._params, self._bs = params, batch_stats
 
-        @jax.jit
-        def infer(params, bs, plan, rgbd):
-            return gen.apply(
-                {"params": params, "batch_stats": bs}, plan, rgbd, train=False
+        # ---- optional int8 model quantization (nn/quant.py q8 chain) ----
+        # The measured deployment option (BASELINE.md round 4: 240.6 POH/s,
+        # |dPSNR| <= 0.004 dB vs bf16): stage-1 UNet runs the full-integer
+        # int8 pipeline; stage 2 (spectral, parameter-light) stays float.
+        # Scales come from a committed qtree artifact (--qtree_path) or are
+        # calibrated at startup from a committed RGBD batch (--calib_path).
+        self.quantize = quantize
+        qtree = None
+        if quantize == "int8":
+            from learned_hologram_gan_tpu.nn.quant import (
+                load_qtree,
+                quantize_unet_q8,
+                quantized_bytes,
+                save_qtree,
             )
+
+            if qtree_path and os.path.exists(qtree_path):
+                qtree = load_qtree(qtree_path)
+                print(f"loaded int8 qtree from {qtree_path} "
+                      f"({quantized_bytes(qtree) / 1e6:.1f} MB packed)")
+            elif calib_path and os.path.exists(calib_path):
+                from learned_hologram_gan_tpu.models.generator import (
+                    nchw_to_nhwc,
+                )
+
+                calib = np.load(calib_path)[:calib_num]
+                if calib.ndim != 4 or calib.shape[1] != 4:
+                    raise SystemExit(
+                        f"--calib_path must hold an (N,4,R,C) f32 RGBD "
+                        f"array, got {calib.shape}"
+                    )
+                qtree = quantize_unet_q8(
+                    params["part1"]["unet"], batch_stats["part1"]["unet"],
+                    nchw_to_nhwc(jnp.asarray(calib, jnp.float32)),
+                )
+                print(f"calibrated int8 qtree from {calib.shape[0]} samples "
+                      f"({quantized_bytes(qtree) / 1e6:.1f} MB packed)")
+                if qtree_path:
+                    save_qtree(qtree, qtree_path)
+                    print(f"saved int8 qtree to {qtree_path}")
+            else:
+                raise SystemExit(
+                    "--quantize int8 needs --qtree_path (a saved quantized "
+                    "model) or --calib_path (an (N,4,R,C) f32 RGBD .npy "
+                    "calibration batch)"
+                )
+        elif quantize != "none":
+            raise SystemExit(f"unknown --quantize mode {quantize!r}")
+        self._qtree = qtree
+
+        if quantize == "int8":
+            from learned_hologram_gan_tpu.models.generator import (
+                generator_apply_quant,
+            )
+
+            @jax.jit
+            def infer(params, bs, qtree, plan, rgbd):
+                return generator_apply_quant(
+                    gen, {"params": params, "batch_stats": bs}, qtree, plan,
+                    rgbd,
+                )
+        else:
+
+            @jax.jit
+            def infer(params, bs, qtree, plan, rgbd):
+                del qtree
+                return gen.apply(
+                    {"params": params, "batch_stats": bs}, plan, rgbd,
+                    train=False,
+                )
 
         self._infer = infer
         self._jnp = jnp
@@ -120,7 +186,7 @@ class PohService:
         # warmup: compile every bucket up front so traffic never compiles
         for b in self.buckets:
             x = jnp.zeros((b, 4, rows, cols), jnp.float32)
-            np.asarray(infer(params, batch_stats, self.plan, x))
+            np.asarray(infer(params, batch_stats, qtree, self.plan, x))
         for d in self.stack_buckets:
             poh = jnp.zeros((1, 3, rows, cols), jnp.float32)
             np.asarray(stack(self.plan, poh, jnp.zeros((d,), jnp.float32)))
@@ -196,7 +262,7 @@ class PohService:
             x = np.concatenate([x, np.repeat(x[-1:], bucket - b, axis=0)], 0)
         t0 = time.perf_counter()
         out = np.asarray(
-            self._infer(self._params, self._bs, self.plan,
+            self._infer(self._params, self._bs, self._qtree, self.plan,
                         self._jnp.asarray(x))
         )[:b]
         self.stats["batches"] += 1
@@ -263,6 +329,7 @@ def make_handler(service: PohService):
                 "mean_batch_ms": round(s["batch_ms_total"] / batches, 2),
                 "rows": service.rows, "cols": service.cols,
                 "buckets": list(service.buckets),
+                "quantize": service.quantize,
             }).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
@@ -376,12 +443,26 @@ def main():
     ap.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--batch_timeout_ms", type=float, default=5.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quantize", choices=("none", "int8"), default="none",
+                    help="int8: serve the full-integer stage-1 UNet "
+                         "(nn/quant.py q8 chain; measured +7%% POH/s at "
+                         "|dPSNR| <= 0.004 dB, BASELINE.md round 4)")
+    ap.add_argument("--qtree_path", type=str, default="",
+                    help="saved quantized model (.npz from nn.quant."
+                         "save_qtree); also written here after --calib_path "
+                         "calibration")
+    ap.add_argument("--calib_path", type=str, default="",
+                    help="(N,4,R,C) f32 RGBD .npy batch for startup "
+                         "activation-scale calibration")
+    ap.add_argument("--calib_num", type=int, default=8)
     args = ap.parse_args()
 
     service = PohService(
         args.model_path, args.rows, args.cols, args.pad_size,
         args.filter_radius_coefficient, args.unet_base_features,
         args.dtype, tuple(args.buckets), args.batch_timeout_ms, args.cpu,
+        quantize=args.quantize, qtree_path=args.qtree_path,
+        calib_path=args.calib_path, calib_num=args.calib_num,
     )
     from http.server import ThreadingHTTPServer
 
