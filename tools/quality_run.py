@@ -224,13 +224,23 @@ def main() -> None:
         amp0 = jnp.zeros((1, 3, args.rows, args.cols), jnp.float32)
         variables = model2.init(jax.random.key(0), plan, amp0, amp0)
         # AmpPhsDataset semantics from the resident stage-1 arrays: (amp,
-        # 2*pi*phs01), scaled on-device (reference data_loader.py:83)
-        dev2_train = (dev_train[1], 2.0 * jnp.pi * dev_train[2])
-        dev2_val = (dev_val[1], 2.0 * jnp.pi * dev_val[2])
+        # 2*pi*phs01), scaled on-device (reference data_loader.py:83).
+        # Scale per BATCH, not by materializing a 2*pi copy of the whole
+        # resident phs field — at 3,800 samples that copy is an extra
+        # 3.35 GB of HBM the 16 GB chip can't spare.
+        dev2_train = (dev_train[1], dev_train[2])
+        dev2_val = (dev_val[1], dev_val[2])
+
+        def scaled(loader_fn):
+            def fn():
+                return ((amp, 2.0 * jnp.pi * phs01)
+                        for amp, phs01 in loader_fn())
+            return fn
+
         _, _, tr_hist, val_hist = train_ap2poh(
             model2, plan, variables["params"],
-            train_batches(dev2_train, args.batch_size),
-            val_batches(dev2_val, args.val_batch),
+            scaled(train_batches(dev2_train, args.batch_size)),
+            scaled(val_batches(dev2_val, args.val_batch)),
             filter_radius_coefficient=0.45,
             epochs=args.stage2_epochs, lr=1e-3, alpha=1e-3, beta=1e-5,
             save_path=stage2_path, checkpoint_iterval=10,
