@@ -72,7 +72,10 @@ def main() -> int:
     for attempt in range(1, args.retries + 1):
         print(f"[watchdog] attempt {attempt}/{args.retries}: {' '.join(cmd)}",
               flush=True)
-        proc = subprocess.Popen(cmd)
+        # new session: a stall kill must take the child's WHOLE process
+        # group, or a grandchild (e.g. a tool's own subprocess) survives
+        # orphaned and keeps holding the chip
+        proc = subprocess.Popen(cmd, start_new_session=True)
         window_start = time.time()
         window_cpu = cpu_jiffies(proc.pid)
         armed_at = time.time() + args.grace_s
@@ -89,10 +92,13 @@ def main() -> int:
                 window_start, window_cpu = now, cpu
             elif now - window_start > args.stall_s and now > armed_at:
                 print(f"[watchdog] STALL: <{args.min_cpu_s}s CPU in "
-                      f"{now - window_start:.0f}s — killing pid {proc.pid}",
+                      f"{now - window_start:.0f}s — killing group {proc.pid}",
                       flush=True)
                 wedged = True
-                proc.send_signal(signal.SIGKILL)
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    proc.send_signal(signal.SIGKILL)
                 proc.wait()
                 break
         if not wedged:
