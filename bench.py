@@ -237,8 +237,12 @@ def _supervise():
             c = cpu(child.pid)
             if c > mark_c + hz:  # >1 CPU-second since the mark
                 mark_t, mark_c = time.time(), c
-            elif time.time() - mark_t > 360:
-                print(f"bench: relay wedge detected (no CPU for 360s), "
+            elif time.time() - mark_t > 900:
+                # window > the longest remote-side XLA compile: with
+                # PALLAS_AXON_REMOTE_COMPILE=1 the host is quiet while the
+                # relay compiles, and a tight window would kill a healthy
+                # compiling child
+                print(f"bench: relay wedge detected (no CPU for 900s), "
                       f"killing pid {child.pid} and retrying",
                       file=sys.stderr, flush=True)
                 child.kill()

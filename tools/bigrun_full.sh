@@ -3,46 +3,34 @@
 # VERDICT #3): the reference's documented workflow (README.md:28-67,
 # trainingModel.py:32-57 constants) at the real MIT-CGH-4K sample count.
 #
-#   stage 1 (RGBD2AP, 30 ep) + stage 2 (AP2POH, 20 ep): ONE process with
-#   the device-resident bf16 dataset (11.2 GB on HBM; one upload, so the
-#   relay's pinned-H2D-buffer leak is bounded by construction).
-#   stage 3 (WGAN-GP, batch 4 config of record): streaming host->device in
-#   bf16, chunked processes (4 + 3 epochs = 6,650 steps >= the 6,250
-#   config-of-record count), each chunk resuming via --start_epoch.
+# Everything runs DEVICE-RESIDENT in one process: the bf16 dataset is
+# 11.2 GB on HBM (one upload — the relay link measured ~10 MB/s on
+# 2026-08-21, 8x below its usual ~78 MB/s, so per-step streaming would
+# dominate wall clock, and the one-upload path also bounds the relay's
+# pinned-H2D-buffer leak by construction).  GAN leg: batch 4, config of
+# record, 7 epochs x 950 steps = 6,650 steps >= the 6,250-step
+# config-of-record count.  Wedge recovery: the pretrain stages resume
+# from epoch checkpoints (+ .done sidecars), the GAN leg from resume_dir,
+# all under the stall watchdog (window > the longest remote compile).
 #
 # Usage: bash tools/bigrun_full.sh [out_dir]
 set -e
 OUT=${1:-output/quality_run_full}
 DATA=data/synth384_big
-S1=${STAGE1_EPOCHS:-30}
+S1=${STAGE1_EPOCHS:-20}
 S2=${STAGE2_EPOCHS:-20}
+GAN=${GAN_EPOCHS:-7}
 mkdir -p "$OUT"
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}
-# every chip process runs under the stall watchdog (the relay wedges
-# processes silently; see tools/watchdog_run.py)
-WD="python tools/watchdog_run.py --stall_s 420 --retries 3 --"
+WD="python tools/watchdog_run.py --stall_s 1200 --retries 4 --"
 
-if [ ! -f "$OUT/ap2poh.msgpack" ]; then
-  echo "=== stage 1+2: pretrain at 3,800 samples (device-resident bf16) ==="
-  $WD python tools/quality_run.py \
-    --data "$DATA" --out "$OUT" \
-    --train_num 3800 --val_num 100 \
-    --batch_size 4 --data_dtype bfloat16 \
-    --stage1_epochs "$S1" --stage2_epochs "$S2" \
-    --skip_gan --skip_eval --info_interval 100000
-fi
-
-echo "=== stage 3: WGAN-GP, batch 4, streaming, chunked ==="
-for range in "0 4" "4 7"; do
-  set -- $range
-  echo "=== GAN chunk: epochs $1 -> $2 (fresh process) ==="
-  $WD python tools/quality_run.py \
-    --data "$DATA" --out "$OUT" \
-    --train_num 3800 --val_num 100 \
-    --streaming --skip_stage1 --skip_stage2 --skip_eval \
-    --batch_size 4 --data_dtype bfloat16 \
-    --start_epoch "$1" --gan_epochs "$2" --info_interval 100000
-done
+$WD python tools/quality_run.py \
+  --data "$DATA" --out "$OUT" \
+  --train_num 3800 --val_num 100 \
+  --batch_size 4 --data_dtype bfloat16 \
+  --stage1_epochs "$S1" --stage2_epochs "$S2" --gan_epochs "$GAN" \
+  --gan_checkpoint_interval 2 \
+  --skip_eval --info_interval 100000
 
 echo "=== final eval ==="
 $WD python tools/eval_quality.py --data "$DATA" --run_dir "$OUT" \

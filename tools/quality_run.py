@@ -86,6 +86,12 @@ def main() -> None:
                          "runs must be CHUNKED: run N epochs per process "
                          "with --start_epoch/--gan_epochs and a shared "
                          "--out (resume state carries across processes).")
+    ap.add_argument("--gan_checkpoint_interval", type=int, default=10,
+                    help="epochs between GAN checkpoints/resume saves (a "
+                         "full-state save fetches ~0.5 GB — on a degraded "
+                         "relay link that is minutes, so short runs want "
+                         "a smaller interval for wedge recovery, long "
+                         "runs a larger one)")
     ap.add_argument("--info_interval", type=int, default=50,
                     help="batches between metric prints / validation passes "
                          "(validation is read-only; raise for long epochs)")
@@ -190,24 +196,79 @@ def main() -> None:
     # ------------------------------------------------------------------
     # stage 1: RGBD2AP pretrain
     # ------------------------------------------------------------------
+    def stage_resume(path, total_epochs, template):
+        """Wedge-recovery resume for a pretrain stage.
+
+        A watchdog-killed stage restarts as a fresh process; the newest
+        (by mtime) `<path>_epoch{k}` checkpoint lets it continue from the
+        last saved epoch instead of repeating hours of work.  Cumulative
+        progress lives in a `<path>.done` sidecar because each restarted
+        run numbers its epoch files from 0 again.  Optimizer/scheduler
+        state restarts — the same semantics as the reference's
+        pretrained_model_path reload.  Returns (vars, epochs_remaining).
+        """
+        from flax import serialization
+
+        root, ext = os.path.splitext(path)
+        done_path = root + ".done"
+        done = 0
+        if os.path.exists(done_path):
+            with open(done_path) as f:
+                done = json.load(f)["done"]
+        newest = None
+        for k in range(total_epochs):
+            p = f"{root}_epoch{k}{ext}"
+            if os.path.exists(p):
+                if newest is None or os.path.getmtime(p) > newest[2]:
+                    newest = (k, p, os.path.getmtime(p))
+        if done >= total_epochs:
+            # stage already completed in a previous attempt: its final
+            # save is on disk — do not retrain or overwrite it
+            log(f"{path}: already complete ({done} epochs), skipping")
+            return template, 0
+        if newest is None:
+            return template, total_epochs
+        k, p, _ = newest
+        done += k + 1
+        with open(done_path, "w") as f:
+            json.dump({"done": done}, f)
+        with open(p, "rb") as f:
+            loaded = serialization.from_bytes(template, f.read())
+        # clear this run's epoch files so the next resume counts afresh
+        for j in range(total_epochs):
+            q = f"{root}_epoch{j}{ext}"
+            if os.path.exists(q):
+                os.remove(q)
+        epoch_seed[0] += k + 1
+        log(f"resuming {path} after {done} done epochs "
+            f"({max(total_epochs - done, 0)} remain)")
+        return loaded, max(total_epochs - done, 0)
+
     if not args.skip_stage1:
         log(f"stage 1: RGBD2AP pretrain, {args.stage1_epochs} epochs")
         t0 = time.time()
         model1 = RGBD2AP(base_features=args.unet_base_features, dtype=dtype)
         rgbd0 = jnp.zeros((1, 4, args.rows, args.cols), jnp.float32)
         variables = model1.init(jax.random.key(0), rgbd0, train=False)
-        _, _, tr_hist, val_hist = train_rgbd2ap(
-            model1, variables["params"], variables["batch_stats"],
-            train_batches(dev_train, args.batch_size),
-            val_batches(dev_val, args.val_batch),
-            epochs=args.stage1_epochs, lr=1e-3, alpha=1e-3,
-            save_path=stage1_path, checkpoint_iterval=10,
-        )
-        timings["stage1_s"] = time.time() - t0
-        with open(os.path.join(args.out, "stage1_history.json"), "w") as f:
-            json.dump({"train": tr_hist, "val": val_hist}, f)
-        log(f"stage 1 done in {timings['stage1_s']:.0f}s: "
-            f"val {val_hist[0]:.5f} -> {val_hist[-1]:.5f}")
+        tpl = {"params": variables["params"],
+               "batch_stats": variables["batch_stats"]}
+        tpl, s1_epochs = stage_resume(stage1_path, args.stage1_epochs, tpl)
+        if s1_epochs > 0:
+            _, _, tr_hist, val_hist = train_rgbd2ap(
+                model1, tpl["params"], tpl["batch_stats"],
+                train_batches(dev_train, args.batch_size),
+                val_batches(dev_val, args.val_batch),
+                epochs=s1_epochs, lr=1e-3, alpha=1e-3,
+                save_path=stage1_path, checkpoint_iterval=5,
+            )
+            with open(os.path.splitext(stage1_path)[0] + ".done", "w") as f:
+                json.dump({"done": args.stage1_epochs}, f)
+            timings["stage1_s"] = time.time() - t0
+            with open(os.path.join(args.out, "stage1_history.json"), "w") as f:
+                json.dump({"train": tr_hist, "val": val_hist}, f)
+            if val_hist:
+                log(f"stage 1 done in {timings['stage1_s']:.0f}s: "
+                    f"val {val_hist[0]:.5f} -> {val_hist[-1]:.5f}")
 
     # ------------------------------------------------------------------
     # stage 2: AP2POH pretrain
@@ -237,19 +298,27 @@ def main() -> None:
                         for amp, phs01 in loader_fn())
             return fn
 
-        _, _, tr_hist, val_hist = train_ap2poh(
-            model2, plan, variables["params"],
-            scaled(train_batches(dev2_train, args.batch_size)),
-            scaled(val_batches(dev2_val, args.val_batch)),
-            filter_radius_coefficient=0.45,
-            epochs=args.stage2_epochs, lr=1e-3, alpha=1e-3, beta=1e-5,
-            save_path=stage2_path, checkpoint_iterval=10,
-        )
-        timings["stage2_s"] = time.time() - t0
-        with open(os.path.join(args.out, "stage2_history.json"), "w") as f:
-            json.dump({"train": tr_hist, "val": val_hist}, f)
-        log(f"stage 2 done in {timings['stage2_s']:.0f}s: "
-            f"val {val_hist[0]:.5f} -> {val_hist[-1]:.5f}")
+        # pretrain epoch checkpoints serialize {"params", "batch_stats"}
+        # (train/pretrain.py _loop) even for the stat-less AP2POH
+        tpl2 = {"params": variables["params"], "batch_stats": {}}
+        tpl2, s2_epochs = stage_resume(stage2_path, args.stage2_epochs, tpl2)
+        if s2_epochs > 0:
+            _, _, tr_hist, val_hist = train_ap2poh(
+                model2, plan, tpl2["params"],
+                scaled(train_batches(dev2_train, args.batch_size)),
+                scaled(val_batches(dev2_val, args.val_batch)),
+                filter_radius_coefficient=0.45,
+                epochs=s2_epochs, lr=1e-3, alpha=1e-3, beta=1e-5,
+                save_path=stage2_path, checkpoint_iterval=10,
+            )
+            with open(os.path.splitext(stage2_path)[0] + ".done", "w") as f:
+                json.dump({"done": args.stage2_epochs}, f)
+            timings["stage2_s"] = time.time() - t0
+            with open(os.path.join(args.out, "stage2_history.json"), "w") as f:
+                json.dump({"train": tr_hist, "val": val_hist}, f)
+            if val_hist:
+                log(f"stage 2 done in {timings['stage2_s']:.0f}s: "
+                    f"val {val_hist[0]:.5f} -> {val_hist[-1]:.5f}")
 
     # ------------------------------------------------------------------
     # stage 3: full WGAN-GP fine-tune, config of record
@@ -289,7 +358,7 @@ def main() -> None:
             info_plot_interval=250,
             loss_metrics_file=os.path.join(args.out, "history.json"),
             save_path_img=img_dir,
-            checkpoint_iterval=10,
+            checkpoint_iterval=args.gan_checkpoint_interval,
             discriminator_train_ratio=5,
             discriminator_lambda=10,
             visualization_RGBD_AP=viz_sample,

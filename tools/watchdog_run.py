@@ -48,8 +48,12 @@ def cpu_jiffies(pid: int) -> int:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stall_s", type=float, default=420.0,
-                    help="window with no CPU accrual that counts as a wedge")
+    ap.add_argument("--stall_s", type=float, default=900.0,
+                    help="window with no CPU accrual that counts as a wedge. "
+                         "CAUTION: with PALLAS_AXON_REMOTE_COMPILE=1 the "
+                         "host is quiet during XLA compiles — the window "
+                         "must exceed the longest remote compile or the "
+                         "watchdog false-kills a healthy compiling process")
     ap.add_argument("--min_cpu_s", type=float, default=1.0,
                     help="CPU seconds that must accrue per window")
     ap.add_argument("--poll_s", type=float, default=30.0)
