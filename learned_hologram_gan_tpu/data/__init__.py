@@ -13,7 +13,11 @@ from .memmap import (
     batch_indices,
     gather_batch,
 )
-from .device import dataset_to_device, device_epoch_loader
+from .device import (
+    RotatingDeviceDataset,
+    dataset_to_device,
+    device_epoch_loader,
+)
 from .prefetch import epoch_loader, prefetch_to_device
 
 __all__ = [
@@ -22,6 +26,7 @@ __all__ = [
     "ImgDepthAmpPhsDataset",
     "ImgDepthDataset",
     "batch_indices",
+    "RotatingDeviceDataset",
     "dataset_to_device",
     "device_epoch_loader",
     "epoch_loader",

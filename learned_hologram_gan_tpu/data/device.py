@@ -83,3 +83,86 @@ def device_epoch_loader(
                              drop_last=drop_last, seed=seed):
         ii = jnp.asarray(np.asarray(idx, np.int32))
         yield tuple(_gather(a, ii) for a in arrays)
+
+
+class _DatasetSlice:
+    """Contiguous index-range view of a host dataset (same ``get`` field
+    semantics)."""
+
+    def __init__(self, dataset, lo: int, hi: int):
+        self._dataset, self._lo, self._hi = dataset, lo, hi
+
+    def __len__(self) -> int:
+        return self._hi - self._lo
+
+    def get(self, i: int):
+        return self._dataset.get(self._lo + i)
+
+
+class RotatingDeviceDataset:
+    """Device residency for datasets LARGER than HBM allows resident.
+
+    The middle ground between full residency (``dataset_to_device``: zero
+    per-step host traffic, but the whole set must fit next to the train
+    step) and per-step streaming (unusable on a slow or leak-prone host
+    link): sample indices split into ``shards`` contiguous blocks, and at
+    most ONE block is resident at a time.  Epochs are scheduled onto
+    shards in ``block_epochs``-epoch runs (A,A,B,B,A,A,... for
+    ``shards=2, block_epochs=2``) so upload cost amortizes over several
+    epochs; each epoch is a full shuffle WITHIN its resident shard
+    (block-shuffled epochs — the standard accelerator-memory pattern when
+    the set exceeds device memory).  Swapping deletes the old shard's
+    buffers before uploading the next, so peak residency is one shard.
+
+    Motivating case (BASELINE.md round 5): the 3,800-sample 384^2 set is
+    11.2 GB in bf16 — resident next to the WGAN-GP step it OOMs a 16 GB
+    chip, and the relay link measured ~10 MB/s, pricing per-step
+    streaming at ~3x the step itself.  ``shards=2`` holds 5.6 GB.
+    """
+
+    def __init__(self, dataset, shards: int = 2, dtype=None,
+                 block_epochs: int = 2):
+        if shards < 1:
+            raise ValueError(f"shards must be >= 1, got {shards}")
+        self.shards = shards
+        self.block_epochs = block_epochs
+        self._dtype = dtype
+        n = len(dataset)
+        bounds = np.linspace(0, n, shards + 1).astype(int)
+        self._slices = [
+            _DatasetSlice(dataset, int(lo), int(hi))
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+        ]
+        self._resident: Optional[Tuple[int, Tuple[jnp.ndarray, ...]]] = None
+
+    def shard_for_epoch(self, epoch: int) -> int:
+        return (epoch // self.block_epochs) % self.shards
+
+    def arrays_for_epoch(self, epoch: int) -> Tuple[jnp.ndarray, ...]:
+        """The resident field arrays for ``epoch``'s shard (swapping in
+        as needed)."""
+        s = self.shard_for_epoch(epoch)
+        if self._resident is not None and self._resident[0] == s:
+            return self._resident[1]
+        if self._resident is not None:
+            for a in self._resident[1]:
+                a.delete()  # free HBM BEFORE the next upload
+            self._resident = None
+        arrays = dataset_to_device(self._slices[s], dtype=self._dtype)
+        self._resident = (s, arrays)
+        return arrays
+
+    def epoch_loader(self, batch_size: int, epoch: int, *, shuffle: bool = True,
+                     drop_last: bool = True, seed: Optional[int] = None):
+        return device_epoch_loader(
+            self.arrays_for_epoch(epoch), batch_size,
+            shuffle=shuffle, drop_last=drop_last, seed=seed,
+        )
+
+    def evict(self) -> None:
+        """Free the resident shard (e.g. before another stage needs the
+        HBM); the next ``arrays_for_epoch`` re-uploads."""
+        if self._resident is not None:
+            for a in self._resident[1]:
+                a.delete()
+            self._resident = None

@@ -56,6 +56,42 @@ def test_device_loader_matches_streaming(bins, shuffle, drop_last, batch):
             np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
 
 
+def test_rotating_device_dataset_schedule_coverage_and_eviction(bins):
+    """RotatingDeviceDataset: 2-epoch shard blocks, at most one shard
+    resident (old buffers really deleted), every sample reachable, and
+    batches bitwise-equal to gathering from the full resident set."""
+    from learned_hologram_gan_tpu.data import RotatingDeviceDataset
+
+    ds = ImgDepthAmpPhsDataset(
+        **_paths(bins, ("img", "depth", "amp", "phs")),
+        samples_num=5, channels_num=3, height=8, width=8,
+    )
+    rot = RotatingDeviceDataset(ds, shards=2, block_epochs=2)
+    # schedule: epochs 0,1 -> shard 0; 2,3 -> shard 1; 4,5 -> shard 0 ...
+    assert [rot.shard_for_epoch(e) for e in range(6)] == [0, 0, 1, 1, 0, 0]
+
+    full = dataset_to_device(ds)
+    seen = set()
+    prev_arrays = None
+    for epoch in range(4):
+        arrays = rot.arrays_for_epoch(epoch)
+        if prev_arrays is not None and arrays is not prev_arrays:
+            assert all(a.is_deleted() for a in prev_arrays)  # HBM freed
+        prev_arrays = arrays
+        lo = 0 if rot.shard_for_epoch(epoch) == 0 else len(rot._slices[0])
+        for batch in rot.epoch_loader(2, epoch, shuffle=False,
+                                      drop_last=False):
+            n = np.asarray(batch[0]).shape[0]
+            for field, ref in zip(batch, full):
+                np.testing.assert_array_equal(
+                    np.asarray(field),
+                    np.asarray(ref[lo : lo + n]),
+                )
+            seen.update(range(lo, lo + n))
+            lo += n
+    assert seen == set(range(5))  # both shards covered across the schedule
+
+
 def test_device_loader_amp_phs_scaling(bins):
     """dataset_to_device preserves the 2*pi phase scaling of AmpPhsDataset."""
     ds = AmpPhsDataset(

@@ -86,6 +86,12 @@ def main() -> None:
                          "runs must be CHUNKED: run N epochs per process "
                          "with --start_epoch/--gan_epochs and a shared "
                          "--out (resume state carries across processes).")
+    ap.add_argument("--resident_shards", type=int, default=1,
+                    help=">1: rotate the train set through HBM in N "
+                         "contiguous shards (block-shuffled epochs) when "
+                         "it cannot sit resident next to the train step "
+                         "— the 3,800-sample bf16 set is 11.2 GB and "
+                         "OOMs a 16 GB chip with the GAN step")
     ap.add_argument("--gan_checkpoint_interval", type=int, default=10,
                     help="epochs between GAN checkpoints/resume saves (a "
                          "full-state save fetches ~0.5 GB — on a degraded "
@@ -163,7 +169,7 @@ def main() -> None:
         # streaming cadence
         wire_dtype = jnp.bfloat16 if args.data_dtype == "bfloat16" else None
 
-        def train_batches(ds, batch):
+        def train_batches(ds, batch, start_epoch=0):  # start_epoch unused: streaming epochs are seed-offset
             def fn():
                 epoch_seed[0] += 1
                 return epoch_loader(ds, batch, shuffle=True, drop_last=True,
@@ -176,14 +182,30 @@ def main() -> None:
 
         viz_sample = tuple(jnp.asarray(a) for a in ds_val.get(0))
     else:
+        from learned_hologram_gan_tpu.data import RotatingDeviceDataset
+
         data_dtype = jnp.bfloat16 if args.data_dtype == "bfloat16" else None
-        dev_train = dataset_to_device(ds_train, dtype=data_dtype)  # (rgbd, amp, phs01)
+        if args.resident_shards > 1:
+            # dataset too large to sit resident next to the train step:
+            # rotate contiguous shards through HBM (block-shuffled epochs;
+            # see data/device.py RotatingDeviceDataset)
+            dev_train = RotatingDeviceDataset(
+                ds_train, shards=args.resident_shards, dtype=data_dtype)
+        else:
+            dev_train = dataset_to_device(ds_train, dtype=data_dtype)  # (rgbd, amp, phs01)
         dev_val = dataset_to_device(ds_val, dtype=data_dtype)
 
-        def train_batches(arrays, batch):
+        def train_batches(source, batch, start_epoch=0):
+            counter = [start_epoch]
             def fn():
                 epoch_seed[0] += 1
-                return device_epoch_loader(arrays, batch, shuffle=True,
+                e = counter[0]
+                counter[0] += 1
+                if isinstance(source, RotatingDeviceDataset):
+                    return source.epoch_loader(
+                        batch, e, shuffle=True, drop_last=True,
+                        seed=epoch_seed[0])
+                return device_epoch_loader(source, batch, shuffle=True,
                                            drop_last=True, seed=epoch_seed[0])
             return fn
 
@@ -247,7 +269,8 @@ def main() -> None:
     if not args.skip_stage1:
         log(f"stage 1: RGBD2AP pretrain, {args.stage1_epochs} epochs")
         t0 = time.time()
-        model1 = RGBD2AP(base_features=args.unet_base_features, dtype=dtype)
+        model1 = RGBD2AP(base_features=args.unet_base_features, dtype=dtype,
+                         remat=args.remat)
         rgbd0 = jnp.zeros((1, 4, args.rows, args.cols), jnp.float32)
         variables = model1.init(jax.random.key(0), rgbd0, train=False)
         tpl = {"params": variables["params"],
@@ -289,7 +312,23 @@ def main() -> None:
         # Scale per BATCH, not by materializing a 2*pi copy of the whole
         # resident phs field — at 3,800 samples that copy is an extra
         # 3.35 GB of HBM the 16 GB chip can't spare.
-        dev2_train = (dev_train[1], dev_train[2])
+        if args.streaming or args.resident_shards <= 1:
+            dev2_train = (dev_train[1], dev_train[2])
+        else:
+            # rotating-residency run: stage 2 only needs (amp, phs01) —
+            # 6/10 of the fields fit resident in full; free the rotating
+            # shard first so the two never coexist in HBM
+            dev_train.evict()
+
+            class _AmpPhsView:
+                def __len__(self):
+                    return len(ds_train)
+
+                def get(self, i):
+                    _, amp, phs01 = ds_train.get(i)
+                    return (amp, phs01)
+
+            dev2_train = dataset_to_device(_AmpPhsView(), dtype=data_dtype)
         dev2_val = (dev_val[1], dev_val[2])
 
         def scaled(loader_fn):
@@ -325,6 +364,14 @@ def main() -> None:
     # ------------------------------------------------------------------
     if not args.skip_gan:
         log(f"stage 3: WGAN-GP config of record, {args.gan_epochs} epochs")
+        if not args.streaming and args.resident_shards > 1:
+            # free stage 2's full amp/phs residency before the GAN step
+            # re-uploads its rotating shard
+            try:
+                for a in dev2_train:
+                    a.delete()
+            except NameError:
+                pass  # stage 2 skipped in this process
         t0 = time.time()
         trainer = Watermelon(
             filter_radius_coefficient=0.45,                   # trainingModel.py:60
@@ -342,7 +389,8 @@ def main() -> None:
         img_dir = os.path.join(args.out, "imgs")
         os.makedirs(img_dir, exist_ok=True)
         trainer.train(
-            data_loader_train=train_batches(dev_train, args.batch_size),
+            data_loader_train=train_batches(dev_train, args.batch_size,
+                                            start_epoch=args.start_epoch),
             data_loader_val=val_batches(dev_val, args.val_batch),
             phs_gradient_loss_weight=1,                       # :76-97 weights
             perceptual_loss_weight=1e-1,
