@@ -24,12 +24,15 @@ mkdir -p "$OUT"
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}
 WD="python tools/watchdog_run.py --stall_s 1200 --retries 4 --"
 
+# --resident_shards 2: the full 11.2 GB bf16 set next to the train step
+# OOMed the 16 GB chip (first attempt, 2026-08-21 01:55) — rotate 5.6 GB
+# shards through HBM instead; --remat shrinks step activations.
 $WD python tools/quality_run.py \
   --data "$DATA" --out "$OUT" \
   --train_num 3800 --val_num 100 \
   --batch_size 4 --data_dtype bfloat16 \
   --stage1_epochs "$S1" --stage2_epochs "$S2" --gan_epochs "$GAN" \
-  --gan_checkpoint_interval 2 \
+  --gan_checkpoint_interval 2 --resident_shards 2 --remat \
   --skip_eval --info_interval 100000
 
 echo "=== final eval ==="
