@@ -24,6 +24,25 @@ utils      ``utils/``                      utilities.py
 =========  ==============================  =====================================
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor an EXPLICIT JAX_PLATFORMS environment request even when a site
+    # hook has pinned the platform through the jax config (this build
+    # image's sitecustomize registers a TPU-relay backend and pins
+    # jax_platforms, which silently overrides the env var).  Without this,
+    # a subprocess launched with JAX_PLATFORMS=cpu — every CLI test, every
+    # CPU smoke — grabs (or blocks on) the relay instead of the CPU.
+    # Effective only before the first backend use, which package import
+    # always precedes.
+    try:
+        import jax as _jax
+
+        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # jax unavailable or config API moved: env semantics apply
+
 from . import config
 from . import ops
 from . import utils
