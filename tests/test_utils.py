@@ -112,3 +112,26 @@ def test_multi_channel_plotter(tmp_path):
         multi_channel_plotter(rng.random((2, 3, 8, 8)), save_dir=str(tmp_path))
     with pytest.raises(ValueError, match="3 channels"):
         multi_channel_plotter(rng.random((4, 8, 8)), save_dir=str(tmp_path))
+
+
+def test_package_import_honors_explicit_jax_platforms_env():
+    """An explicit JAX_PLATFORMS env request must win over any site hook's
+    platform pin once the package is imported (the build image's
+    sitecustomize pins jax_platforms via config, silently overriding the
+    env var — a subprocess launched with JAX_PLATFORMS=cpu then grabs, or
+    blocks on, the TPU relay instead of running on CPU)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import learned_hologram_gan_tpu, jax; "
+         "print([d.platform for d in jax.devices()])"],
+        env=env, capture_output=True, text=True, timeout=240,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+    assert "'cpu'" in out.stdout and "tpu" not in out.stdout.lower()
